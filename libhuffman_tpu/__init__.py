@@ -1,0 +1,40 @@
+"""libhuffman_tpu — a TPU-native Huffman codec, wire-compatible with libhuffman.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ybubnov/libhuffman (the C99 reference): per-block byte histograms,
+frequency-sorted tree construction with the reference's exact tie-breaking,
+preorder tree headers, and MSB-first bitstreams — bit-for-bit compatible with
+``huf_encode``/``huf_decode`` — plus a ``huffmanfile``-compatible Python API.
+
+Encode runs as batched device kernels (vmapped histogram -> fixed-trip
+two-argmin tree build -> code extraction -> prefix-sum bit packing); decode as
+a table-driven branch-free bit walker with pointer-jumping across code
+boundaries.  Blocks are fully independent (the format's latent parallelism
+axis) and shard data-parallel over a ``jax.sharding.Mesh``.
+"""
+
+from .errors import (
+    ErrorCode,
+    HuffmanError,
+    InvalidArgumentError,
+    ReadWriteError,
+    BtreeOverflowError,
+    BtreeCorruptedError,
+    error_string,
+)
+from .format import DEFAULT_BLOCK_SIZE, DEFAULT_MEM_LIMIT
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ErrorCode",
+    "HuffmanError",
+    "InvalidArgumentError",
+    "ReadWriteError",
+    "BtreeOverflowError",
+    "BtreeCorruptedError",
+    "error_string",
+    "DEFAULT_BLOCK_SIZE",
+    "DEFAULT_MEM_LIMIT",
+    "__version__",
+]

@@ -1,0 +1,215 @@
+"""The libhuffman wire format: constants, block headers, tree (de)serialization.
+
+Stream layout (verified empirically against the compiled reference, SURVEY.md §2.9):
+
+    repeated blocks, no magic / global header / checksum / EOF marker:
+        u64  LE   block_original_length   (raw bytes encoded in this block)
+        i16  LE   tree_length             (count of int16 entries, 0 < n <= 1024)
+        i16[LE]   preorder tree           (-1 = missing child; leaf = idx, -1, -1)
+        u8[ceil(total_code_bits/8)]       MSB-first bitstream, zero-padded per block
+
+The u64 length is the reference's ``need_to_read`` written with ``sizeof(size_t)``
+(src/encoder.c:325-328) — the format is de facto 64-bit little-endian.
+
+Trees are represented here in *array form*: parallel int32 vectors indexed by slot
+(0..255 = leaf slots keyed by symbol, 256.. = internal nodes in merge order), which is
+the layout the TPU kernels produce and consume.  This module converts between array
+form and the preorder int16 wire form.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+import numpy as np
+
+from .errors import BtreeOverflowError, ReadWriteError
+
+# Constants mirroring include/huffman/common.h and tree.h.
+HUF_1KIB = 1024
+HUF_64KIB = 65536
+HUF_128KIB = 131072
+ASCII_COUNT = 256  # HUF_ASCII_COUNT, tree.h:9
+BTREE_LEN = 1024  # HUF_BTREE_LEN, tree.h:12 (see BTREE_SER_MAX below)
+# True worst-case serialized length: a block containing all 256 symbols has
+# 512 nodes (256 leaves + 255 binary merges + the unary root) and therefore
+# 2*512+1 = 1025 serialized entries.  The reference's 1024-entry buffer
+# (src/encoder.c:270) silently overflows and its decoder then rejects the
+# stream (verified against the compiled reference: encode succeeds with
+# tree_length=1025, decode fails BTREE_OVERFLOW).  This framework encodes
+# bit-exactly (emitting 1025 when required) and *accepts* up to 1025 on
+# decode — a strict superset that can decode everything the reference
+# encodes (SURVEY.md §7 item 8: documented deliberate fix).
+BTREE_SER_MAX = 1025
+HISTOGRAM_LEN = 512  # HUF_HISTOGRAM_LEN, tree.h:15
+LEAF_MARK = -1  # HUF_LEAF_NODE
+
+# Python-layer defaults (huffmanfile/huffmanfile.py:26-27).
+DEFAULT_BLOCK_SIZE = 131072
+DEFAULT_MEM_LIMIT = 262144
+
+BLOCK_HEADER = struct.Struct("<Qh")  # u64 original length, i16 tree length
+
+
+def pack_block(n_sym: int, tree_i16: np.ndarray, payload: bytes) -> bytes:
+    """Assemble one self-contained block (src/encoder.c:325-351)."""
+    return (
+        BLOCK_HEADER.pack(n_sym, len(tree_i16))
+        + np.asarray(tree_i16, dtype="<i2").tobytes()
+        + payload
+    )
+
+
+class BlockHeader(NamedTuple):
+    n_sym: int  # original (decoded) byte count of the block
+    tree: np.ndarray  # int16 preorder serialization
+    payload_off: int  # absolute offset of the first payload byte
+
+
+def parse_block_header(buf: memoryview, off: int) -> BlockHeader:
+    """Parse one block header starting at ``off``.
+
+    Raises the same error conditions the reference decoder detects:
+    short reads -> ReadWriteError (src/bufio.c:197-287 via decoder.c:220-252),
+    tree_length outside [0, 1024] -> BtreeOverflowError (decoder.c:237-239).
+    """
+    if off + BLOCK_HEADER.size > len(buf):
+        raise ReadWriteError("Failed to decode the data")
+    n_sym, tree_length = BLOCK_HEADER.unpack_from(buf, off)
+    if tree_length < 0 or tree_length > BTREE_SER_MAX:
+        raise BtreeOverflowError("Failed to decode the data")
+    tree_off = off + BLOCK_HEADER.size
+    if tree_off + 2 * tree_length > len(buf):
+        raise ReadWriteError("Failed to decode the data")
+    tree = np.frombuffer(buf, dtype="<i2", count=tree_length, offset=tree_off)
+    return BlockHeader(n_sym, tree, tree_off + 2 * tree_length)
+
+
+class ArrayTree(NamedTuple):
+    """Array-form Huffman tree over 512 slots.
+
+    Slot s < 256 is the leaf for symbol s; slots >= 256 are internal nodes in
+    creation (merge) order, matching the reference's node numbering
+    (src/tree.c:303,406).  ``left``/``right`` hold child slot ids or -1.
+    ``root`` is the root slot id (always an internal node with right == -1,
+    the reference's unary-root invariant, src/tree.c:410-413) or -1 for an
+    empty tree.
+    """
+
+    left: np.ndarray  # (512,) int32
+    right: np.ndarray  # (512,) int32
+    root: int
+
+
+def serialize_tree(tree: ArrayTree) -> np.ndarray:
+    """Preorder int16 serialization (src/tree.c:233-270).
+
+    Emits node index, then the left subtree, then the right subtree; a missing
+    child emits a single -1.  Node index of slot s is s itself (leaves carry
+    their symbol, internal nodes their 256+ merge-order id).
+    """
+    out = np.empty(BTREE_SER_MAX, dtype=np.int16)
+    pos = 0
+    # Iterative preorder with an explicit stack; entries are slot ids or -1.
+    stack = [tree.root]
+    left, right = tree.left, tree.right
+    while stack:
+        node = stack.pop()
+        out[pos] = LEAF_MARK if node < 0 else node
+        pos += 1
+        if node >= 0:
+            stack.append(int(right[node]))
+            stack.append(int(left[node]))
+    return out[:pos].copy()
+
+
+def deserialize_tree(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Preorder deserialization (src/tree.c:138-227) into flat arrays.
+
+    Returns ``(left, right, index, root)`` where nodes are numbered 0..n-1 in
+    preorder appearance, ``left``/``right`` are child node ids or -1, and
+    ``index`` is each node's serialized index value (for a leaf: the symbol).
+    ``root`` is node 0, or -1 for an empty tree.
+
+    Mirrors the reference's tolerance of truncated input: running out of
+    entries mid-subtree yields missing (-1) children rather than an error;
+    the walk later reports BTREE_CORRUPTED when it steps into one
+    (decoder.c:69-71).  Extra trailing entries are ignored (tree.c:205).
+    """
+    buf = np.asarray(buf, dtype=np.int64)
+    n = len(buf)
+    # Worst case every entry is a node.
+    left = np.full(max(n, 1), -1, dtype=np.int32)
+    right = np.full(max(n, 1), -1, dtype=np.int32)
+    index = np.zeros(max(n, 1), dtype=np.int32)
+    count = 0
+
+    # Iterative version of __huf_deserialize_tree (tree.c:139-208).  The
+    # recursive structure is: parse(pos, limit) -> (node_id, consumed).
+    # We emulate with an explicit stack of pending child links.
+    def parse(pos: int, limit: int) -> tuple[int, int]:
+        nonlocal count
+        if limit < 1:
+            return -1, 0
+        v = int(buf[pos])
+        if v == LEAF_MARK:
+            return -1, 1
+        me = count
+        count += 1
+        index[me] = v
+        l, lc = parse(pos + 1, limit - 1)
+        r, rc = parse(pos + 1 + lc, limit - 1 - lc)
+        left[me] = l
+        right[me] = r
+        return me, 1 + lc + rc
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    if n + 64 > old_limit:
+        sys.setrecursionlimit(n * 2 + 128)
+    try:
+        root, _ = parse(0, n)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return left[:count], right[:count], index[:count], root
+
+
+# A block's compressed payload length is NOT stored in the header: the
+# reference decoder discovers it implicitly by walking bits until n_sym
+# symbols are restored (decoder.c:34-96).  Block boundaries are therefore a
+# sequential chain.  Two discovery strategies are provided by the decoders:
+#
+#   1. Sequential scan (exact, always correct): walk each block's bitstream
+#      counting symbols — see ops/hostref.py and the native scanner.
+#   2. Speculative parallel discovery: valid headers are statistically
+#      self-identifying (u64 length with zero high bytes, tree_length in
+#      [1, 1024]), so all *candidate* block starts can be found with one
+#      vectorized pass, decoded in parallel, and the true chain resolved
+#      afterwards — see decode.py.  Any chain break falls back to (1).
+
+
+def find_candidate_headers(data: np.ndarray, max_n_sym: int = 1 << 32) -> np.ndarray:
+    """Offsets of plausible block headers in a compressed stream.
+
+    A plausible header has 1 <= n_sym < max_n_sym with the top four bytes of
+    the u64 zero, and 1 <= tree_length <= 1024.  Every true mid-stream block
+    start matches (the encoder never emits empty blocks, src/encoder.c:288;
+    tree_length >= 5 in practice); false positives are possible but rare and
+    merely cost wasted speculative work.
+
+    ``data`` is a uint8 numpy array.  Returns ascending int64 offsets.
+    """
+    n = len(data)
+    if n < BLOCK_HEADER.size:
+        return np.zeros(0, dtype=np.int64)
+    m = n - BLOCK_HEADER.size + 1  # last offset where a full header fits
+    d = data.astype(np.int64)
+    # n_sym low 4 bytes (LE) and high 4 bytes must-be-zero check.
+    lo = d[0:m] | (d[1 : m + 1] << 8) | (d[2 : m + 2] << 16) | (d[3 : m + 3] << 24)
+    hi_zero = (d[4 : m + 4] | d[5 : m + 5] | d[6 : m + 6] | d[7 : m + 7]) == 0
+    tree_len = d[8 : m + 8] | (d[9 : m + 9] << 8)
+    tree_len = np.where(tree_len >= 1 << 15, tree_len - (1 << 16), tree_len)  # i16
+    ok = hi_zero & (lo >= 1) & (lo < max_n_sym) & (tree_len >= 1) & (tree_len <= BTREE_SER_MAX)
+    return np.nonzero(ok)[0].astype(np.int64)
