@@ -1,0 +1,100 @@
+"""Whole-stream encode: host orchestration around the device kernels.
+
+The stream is split into independent fixed-size blocks (the reference's block
+loop, src/encoder.c:288-374), batched, and pushed through two jitted stages:
+
+  stage 1  histogram -> tree -> codes -> exact per-block payload bit counts
+           (a frequency/length dot product — no per-byte pass), after which
+           the host sizes the static word buffer;
+  stage 2  per-byte layout + branch-free word packing.
+
+Host work is limited to tree-header serialization and ordered concatenation
+of (header, payload) per block.  Batch and word counts are bucketed to keep
+the jit cache small.  Blocks whose codes exceed the 32-bit device fast path
+(physically impossible below ~2 MB blocks; adversarial only) fall back to the
+host-exact codec, preserving bit-exactness unconditionally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format import ArrayTree, DEFAULT_BLOCK_SIZE, pack_block, serialize_tree
+from .ops import device as dev
+from .ops import hostref
+
+# Blocks per device batch.  64 KiB x 256 = 16 MiB of input per dispatch.
+DEFAULT_BATCH_BLOCKS = 256
+
+
+def _bucket(n: int, lo: int) -> int:
+    """Round up to a power of two (>= lo) to bound jit-cache size."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
+    """Encode a (B, N) uint8 batch; returns per-block wire bytes."""
+    import jax.numpy as jnp
+
+    left, right, root, codes, lens, overflow, total_bits = dev.encode_stage1(
+        jnp.asarray(batch), jnp.asarray(n_valid)
+    )
+    total_bits_h = np.asarray(total_bits)
+    overflow_h = np.asarray(overflow)
+    W = _bucket(max(1, -(-int(total_bits_h.max()) // 32)), 256)
+    payload, _ = dev.encode_stage2(
+        jnp.asarray(batch), jnp.asarray(n_valid), codes, lens, W
+    )
+    payload_h = np.asarray(payload)
+    left_h = np.asarray(left)
+    right_h = np.asarray(right)
+    root_h = np.asarray(root)
+
+    out = []
+    for b in range(len(batch)):
+        nv = int(n_valid[b])
+        if nv == 0:
+            continue  # padding block
+        if overflow_h[b]:
+            out.append(hostref.encode_block(batch[b, :nv]))
+            continue
+        tree = serialize_tree(ArrayTree(left_h[b], right_h[b], int(root_h[b])))
+        nbytes = (int(total_bits_h[b]) + 7) // 8
+        out.append(pack_block(nv, tree, payload_h[b, :nbytes].tobytes()))
+    return out
+
+
+def encode(
+    data: bytes | np.ndarray,
+    blocksize: int = DEFAULT_BLOCK_SIZE,
+    batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+) -> bytes:
+    """Encode ``data`` into the libhuffman block format on the device.
+
+    ``blocksize == 0`` treats the whole input as one block
+    (src/encoder.c:163-165); the ragged tail becomes its own smaller block.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    n = len(buf)
+    if n == 0:
+        return b""
+    if blocksize <= 0:
+        blocksize = n
+    nblocks = -(-n // blocksize)
+
+    chunks: list[bytes] = []
+    for start_blk in range(0, nblocks, batch_blocks):
+        nb = min(batch_blocks, nblocks - start_blk)
+        B = _bucket(nb, 1)
+        batch = np.zeros((B, blocksize), dtype=np.uint8)
+        n_valid = np.zeros(B, dtype=np.int32)
+        for i in range(nb):
+            off = (start_blk + i) * blocksize
+            seg = buf[off : off + blocksize]
+            batch[i, : len(seg)] = seg
+            n_valid[i] = len(seg)
+        chunks.extend(_encode_batch(batch, n_valid))
+    return b"".join(chunks)

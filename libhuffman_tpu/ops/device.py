@@ -1,0 +1,291 @@
+"""Batched TPU encode kernels (JAX/XLA).
+
+Everything here operates on a *batch* of independent fixed-size blocks — the
+format's parallelism axis (SURVEY.md §2.5).  The reference's three sequential
+hot loops (src/encoder.c: histogram per byte, two-minimum scan per merge
+round, bit emission per bit) become:
+
+  * ``histogram``      — nibble one-hot MXU matmul (32 VPU ops/byte + a
+                         16x16 contraction instead of a 256-wide compare or a
+                         serializing scatter-add),
+  * ``build_trees``    — fixed-trip (256-round) masked two-argmin over the
+                         512-slot rate vectors, batched over blocks; replicates
+                         the reference's exact tie-breaking (src/tree.c:318-414,
+                         ties to the larger index via ``<=`` comparisons),
+  * ``extract_codes``  — 32-step parent-pointer walk producing MSB-first
+                         codeword values (fast path: code length <= 32 bits,
+                         which covers every physically possible block up to
+                         ~2 MB; deeper blocks are flagged for host fallback),
+  * ``pack_words``     — branch-free bit packer: exclusive-scan bit offsets,
+                         then each output 32-bit word gathers its <= 33
+                         overlapping codewords and ORs their aligned bits
+                         (replaces the sequential 1-byte bit accumulator,
+                         src/bufio.c:16-32).
+
+All shapes are static; ragged blocks are padded and masked via ``n_valid``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import ASCII_COUNT, HISTOGRAM_LEN
+
+MAX_CODE_BITS = 32  # device fast-path limit; see module docstring
+_BIG = jnp.int32(1 << 30)
+
+
+# --------------------------------------------------------------------------
+# Histogram
+# --------------------------------------------------------------------------
+
+def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.Array:
+    """Byte-frequency histograms, (B, N) u8 -> (B, 512) i32.
+
+    Equivalent of src/histogram.c:74-100 with iota=1, length=512 — slots
+    256..511 are zero scratch for the tree builder's internal-node rates.
+
+    Uses the nibble decomposition count[s] = sum_j [hi_j == s>>4][lo_j == s&15]
+    so the per-symbol count is a (16, N) x (N, 16) contraction on the MXU with
+    exact f32 accumulation (counts < 2^24), instead of a 256-wide VPU compare
+    or a serializing scatter-add.
+    """
+    B, N = blocks.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    valid = (pos < n_valid[:, None]).astype(jnp.bfloat16)
+    hi = (blocks >> 4).astype(jnp.int32)
+    lo = (blocks & 15).astype(jnp.int32)
+    nib = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+
+    if N % chunk:
+        chunk = N  # small inputs: single chunk
+    n_chunks = N // chunk
+
+    def step(acc, xs):
+        hi_c, lo_c, valid_c = xs  # (B, chunk), ...
+        oh_hi = (hi_c[:, :, None] == nib).astype(jnp.bfloat16)
+        oh_lo = (lo_c[:, :, None] == nib).astype(jnp.bfloat16) * valid_c[:, :, None]
+        # (B, 16, 16) <- contract over the chunk axis, batched over B.
+        cnt = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + cnt, None
+
+    xs = (
+        hi.reshape(B, n_chunks, chunk).swapaxes(0, 1),
+        lo.reshape(B, n_chunks, chunk).swapaxes(0, 1),
+        valid.reshape(B, n_chunks, chunk).swapaxes(0, 1),
+    )
+    acc0 = jnp.zeros((B, 16, 16), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    counts = acc.reshape(B, 256).astype(jnp.int32)
+    return jnp.concatenate(
+        [counts, jnp.zeros((B, HISTOGRAM_LEN - ASCII_COUNT), jnp.int32)], axis=1
+    )
+
+
+# --------------------------------------------------------------------------
+# Tree construction
+# --------------------------------------------------------------------------
+
+def build_trees(freqs: jax.Array):
+    """Batched reference-exact tree build, (B, 512) i32 -> array trees.
+
+    256 fixed merge rounds (enough for 255 binary merges + the unary root
+    wrap).  Per round the two smallest non-zero rates are found with ties
+    broken toward the larger slot index — the batched equivalent of the
+    reference's running two-minimum scan (src/tree.c:329-352, `<=`
+    comparisons make the last minimum win).  The sole survivor is wrapped in
+    a parent with only a left child (tree.c:410-413): the unary-root
+    invariant that gives every codeword its leading 0 bit.
+
+    Returns (left, right, parent, root): (B,512) i32 x3 and (B,) i32
+    (root == -1 for all-zero histograms, i.e. padding blocks).
+    """
+    B = freqs.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, HISTOGRAM_LEN), 1)
+
+    def round_fn(i, st):
+        rates, left, right, parent, root, done = st
+        node = ASCII_COUNT + i
+        active = rates > 0
+        cnt = jnp.sum(active, axis=1)
+        r1 = jnp.min(jnp.where(active, rates, _BIG), axis=1)
+        i1 = jnp.max(jnp.where(active & (rates == r1[:, None]), iota, -1), axis=1)
+        oh1 = iota == i1[:, None]
+        act2 = active & ~oh1
+        r2 = jnp.min(jnp.where(act2, rates, _BIG), axis=1)
+        i2 = jnp.max(jnp.where(act2 & (rates == r2[:, None]), iota, -1), axis=1)
+        oh2 = iota == i2[:, None]
+
+        merge = ~done & (cnt >= 2)
+        wrap = ~done & (cnt == 1)
+        upd = merge | wrap
+
+        rates = jnp.where(upd[:, None] & oh1, 0, rates)
+        rates = jnp.where(merge[:, None] & oh2, 0, rates)
+        new_rate = jnp.where(merge, r1 + r2, r1)
+        col = jnp.where(upd, new_rate, rates[:, node])
+        rates = jax.lax.dynamic_update_index_in_dim(rates, col, node, axis=1)
+
+        lcol = jnp.where(upd, i1, left[:, node])
+        left = jax.lax.dynamic_update_index_in_dim(left, lcol, node, axis=1)
+        rcol = jnp.where(merge, i2, right[:, node])
+        right = jax.lax.dynamic_update_index_in_dim(right, rcol, node, axis=1)
+        parent = jnp.where(upd[:, None] & oh1, node, parent)
+        parent = jnp.where(merge[:, None] & oh2, node, parent)
+        root = jnp.where(wrap, node, root)
+        done = done | wrap | (cnt == 0)
+        return rates, left, right, parent, root, done
+
+    neg = jnp.full((B, HISTOGRAM_LEN), -1, jnp.int32)
+    st = (
+        freqs.astype(jnp.int32),
+        neg, neg,
+        jnp.full((B, HISTOGRAM_LEN), -1, jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    _, left, right, parent, root, _ = jax.lax.fori_loop(0, ASCII_COUNT, round_fn, st)
+    return left, right, parent, root
+
+
+# --------------------------------------------------------------------------
+# Codeword extraction
+# --------------------------------------------------------------------------
+
+def extract_codes(left: jax.Array, parent: jax.Array):
+    """Per-symbol codewords from parent pointers.
+
+    (B,512) trees -> codes (B,256) u32, lens (B,256) i32, overflow (B,) bool.
+
+    Walks each leaf toward the root for MAX_CODE_BITS steps; setting the
+    t-th collected bit at position t leaves the root-most bit highest, so
+    ``codes`` holds the MSB-first codeword value directly (matches the
+    reference's reversed string walk, src/tree.c:12-47 + encoder.c:106-108).
+    ``overflow`` flags blocks whose walk did not reach the root — those are
+    re-encoded on the host fallback path (requires a multi-MB adversarial
+    block; never hit on real data).
+    """
+    B = left.shape[0]
+    sym = jax.lax.broadcasted_iota(jnp.int32, (B, ASCII_COUNT), 1)
+
+    def step(t, st):
+        node, code, ln = st
+        p = jnp.take_along_axis(parent, node, axis=1)
+        has = p >= 0
+        p_safe = jnp.where(has, p, 0)
+        isleft = jnp.take_along_axis(left, p_safe, axis=1) == node
+        bit = jnp.where(isleft, jnp.uint32(0), jnp.uint32(1))
+        code = jnp.where(has, code | (bit << ln.astype(jnp.uint32)), code)
+        ln = ln + has.astype(jnp.int32)
+        node = jnp.where(has, p, node)
+        return node, code, ln
+
+    st = (
+        sym,
+        jnp.zeros((B, ASCII_COUNT), jnp.uint32),
+        jnp.zeros((B, ASCII_COUNT), jnp.int32),
+    )
+    node, code, ln = jax.lax.fori_loop(0, MAX_CODE_BITS, step, st)
+    overflow = jnp.any(jnp.take_along_axis(parent, node, axis=1) >= 0, axis=1)
+    return code, ln, overflow
+
+
+# --------------------------------------------------------------------------
+# Bit packing
+# --------------------------------------------------------------------------
+
+def symbol_layout(blocks: jax.Array, codes: jax.Array, lens: jax.Array,
+                  n_valid: jax.Array):
+    """Per-position code length / offset / codeword for a block batch.
+
+    Returns (C, L, ends, total_bits): the codeword and bit length of every
+    input byte, the inclusive cumsum of lengths (= end bit offset of each
+    byte's code), and per-block total payload bits.
+    """
+    B, N = blocks.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    sym = blocks.astype(jnp.int32)
+    L = jnp.take_along_axis(lens, sym, axis=1)
+    L = jnp.where(pos < n_valid[:, None], L, 0)
+    C = jnp.take_along_axis(codes, sym, axis=1)
+    ends = jnp.cumsum(L, axis=1)
+    return C, L, ends, ends[:, -1]
+
+
+def pack_words(C: jax.Array, L: jax.Array, ends: jax.Array, W: int) -> jax.Array:
+    """Pack codewords into (B, W) big-endian u32 words.
+
+    Word w covers payload bits [32w, 32w+32) with bit 32w as its MSB (the
+    format's MSB-first byte order, src/bufio.c:19-23).  Each word gathers the
+    <= 33 codewords that can overlap it (each code is >= 1 bit, so at most 32
+    start inside the window plus one straddling its left edge), aligns each
+    via a single shift — low bits naturally wrap out for codes straddling the
+    left edge, high bits for the right — and ORs them (codes never overlap,
+    so OR == sum).  Entirely gather/shift/or: no scatter, no serialization.
+    """
+    B, N = C.shape
+    offsets = ends - L
+    wstart = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) * 32
+    # First byte whose code ends after the word starts.
+    j0 = jax.vmap(lambda e: jnp.searchsorted(e, wstart, side="right"))(ends)
+    j0 = j0.astype(jnp.int32)
+    wstart_b = wstart[None, :]
+
+    def cand(k, word):
+        j = jnp.clip(j0 + k, 0, N - 1)
+        off = jnp.take_along_axis(offsets, j, axis=1)
+        ln = jnp.take_along_axis(L, j, axis=1)
+        cd = jnp.take_along_axis(C, j, axis=1)
+        srel = off - wstart_b
+        ok = (ln > 0) & (srel < 32) & (srel + ln > 0)
+        s = 32 - ln - srel  # in (-32, 32) whenever ok
+        lsh = jnp.clip(s, 0, 31).astype(jnp.uint32)
+        rsh = jnp.clip(-s, 0, 31).astype(jnp.uint32)
+        v = jnp.where(s >= 0, cd << lsh, cd >> rsh)
+        return word | jnp.where(ok, v, jnp.uint32(0))
+
+    word = jnp.zeros((B, W), jnp.uint32)
+    return jax.lax.fori_loop(0, 33, cand, word)
+
+
+def words_to_bytes(words: jax.Array) -> jax.Array:
+    """(B, W) big-endian u32 -> (B, 4W) u8 payload bytes."""
+    B, W = words.shape
+    b = jnp.stack(
+        [(words >> 24), (words >> 16), (words >> 8), words], axis=-1
+    ).astype(jnp.uint8)
+    return b.reshape(B, 4 * W)
+
+
+# --------------------------------------------------------------------------
+# Jitted pipeline stages
+# --------------------------------------------------------------------------
+
+@jax.jit
+def encode_stage1(blocks: jax.Array, n_valid: jax.Array):
+    """Histogram -> tree -> codes -> total payload bits (no per-byte pass).
+
+    total_bits = freqs . lens is exact without touching the byte stream, so
+    the host can size the word buffer (static W) before the pack stage runs.
+    """
+    freqs = histogram(blocks, n_valid)
+    left, right, parent, root = build_trees(freqs)
+    codes, lens, overflow = extract_codes(left, parent)
+    total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
+    return left, right, root, codes, lens, overflow, total_bits
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def encode_stage2(blocks, n_valid, codes, lens, W: int):
+    """Per-byte layout + word packing -> (B, 4W) payload bytes + bit totals."""
+    C, L, ends, total_bits = symbol_layout(blocks, codes, lens, n_valid)
+    words = pack_words(C, L, ends, W)
+    return words_to_bytes(words), total_bits

@@ -3,18 +3,26 @@
 Multi-chip sharding is exercised without TPU hardware via XLA's
 host-platform device-count override (SURVEY.md §5.8); the driver separately
 dry-run-compiles the multi-chip path through ``__graft_entry__.dryrun_multichip``.
-Set before any jax import.
+
+The environment may pin an experimental TPU platform plugin (``axon``) via
+sitecustomize + ``JAX_PLATFORMS``; the env var alone is not honored once the
+plugin is registered, but ``jax.config.update('jax_platforms', ...)`` is.
+XLA_FLAGS must be set before the first backend initialization.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,71 @@
+"""Device (jitted, CPU-backend in tests) encode vs host-exact codec and oracle."""
+
+import numpy as np
+import pytest
+
+from libhuffman_tpu import encode as enc_mod
+from libhuffman_tpu.ops import hostref
+from oracle import ref_compress
+
+
+def _check(data: bytes, blocksize: int):
+    got = enc_mod.encode(data, blocksize)
+    want = hostref.encode(data, blocksize)
+    assert got == want
+    assert hostref.decode(got) == data
+
+
+def test_golden_small():
+    _check(b"0123456789", 65536)
+    _check(b"1", 256)
+    _check(b"aab", 65536)
+    _check(b"aabba", 2)
+
+
+def test_single_symbol_runs():
+    _check(b"a" * 1000, 131072)
+    _check(b"\x00" * 4096, 256)
+
+
+def test_all_256_symbols():
+    _check(bytes(range(256)) * 17, 1024)
+
+
+def test_multiblock_batching():
+    data = (b"The quick brown fox jumps over the lazy dog. " * 1000)[:40000]
+    _check(data, 1024)  # 40 blocks: exercises batch path
+    got = enc_mod.encode(data, 512, batch_blocks=16)  # multiple batches
+    assert got == hostref.encode(data, 512)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_vs_oracle(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 20000))
+    kinds = [
+        lambda: rng.integers(0, 256, n, dtype=np.uint8),
+        lambda: rng.integers(97, 105, n, dtype=np.uint8),
+        lambda: rng.choice(
+            np.frombuffer(b" etaoinshrdlu", np.uint8),
+            n,
+            p=np.array([18, 10, 8, 8, 7, 7, 7, 6, 6, 6, 6, 6, 5]) / 100,
+        ).astype(np.uint8),
+    ]
+    data = kinds[seed % 3]().tobytes()
+    bs = int(rng.choice([0, 100, 1024, 65536]))
+    got = enc_mod.encode(data, bs)
+    assert got == ref_compress(data, bs if bs else len(data))
+    assert hostref.decode(got) == data
+
+
+def test_fallback_deep_tree():
+    # Fibonacci frequencies: depth > 32 requires > 3.5 MB in one block, so
+    # craft one smaller but still > MAX_CODE_BITS deep?  Depth d needs
+    # ~Fib(d+2) bytes; Fib(34)=5.7M is the 32-bit threshold — too big for a
+    # quick test, so instead verify the overflow flag path with depth 30
+    # (stays on device) and trust test_hostref for the host path.
+    counts = [1, 1]
+    while len(counts) < 30:
+        counts.append(counts[-1] + counts[-2])
+    data = b"".join(bytes([i]) * c for i, c in enumerate(counts))
+    _check(data, 0)
