@@ -1,0 +1,221 @@
+"""Whole-stream decode: speculative parallel block discovery + device kernels.
+
+Block boundaries in the libhuffman format are only discoverable by decoding
+(the payload length is implicit, SURVEY.md §2.9), which would make the stream
+a sequential chain.  This decoder breaks the chain speculatively:
+
+  1. One vectorized pass finds every *candidate* header (u64 length with zero
+     high bytes, tree_length in range — true block starts always match,
+     false positives are rare and merely waste speculative work).
+  2. All candidates are decoded in parallel on the device
+     (ops/decode_device.py), each yielding its symbols, its consumed payload
+     size, and error flags.
+  3. The true chain is resolved on the host by following consumed sizes from
+     offset 0; any gap (missed candidate, flagged block, adversarial stream)
+     falls back to the host-exact sequential decoder for that block, so
+     correctness never depends on the speculation.
+
+Error semantics mirror src/decoder.c:201-287: the first failing block in
+*chain order* raises; garbage beyond the consumed span of a valid stream
+suffix still raises ReadWrite/BtreeOverflow exactly like the reference's
+outer loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import BtreeCorruptedError, ReadWriteError
+from .format import (
+    BLOCK_HEADER,
+    deserialize_tree,
+    find_candidate_headers,
+    parse_block_header,
+)
+from .ops import hostref
+from .ops import decode_device as ddec
+
+# Device batch sizing: total bit positions per dispatch.
+_POSITION_BUDGET = 1 << 23  # 8M positions ~ up to ~1 MiB of payload per batch
+_NT = 1027  # tree node slots: up to 1025 preorder nodes + root pad + trap
+
+
+def _bucket(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class _Candidate:
+    __slots__ = (
+        "off", "n_sym", "tree", "payload_off", "avail",
+        "fallback", "error", "result",
+    )
+
+    def __init__(self, off, n_sym, tree, payload_off, avail):
+        self.off = off
+        self.n_sym = n_sym
+        self.tree = tree
+        self.payload_off = payload_off
+        self.avail = avail  # payload bytes available before stream end
+        self.fallback = False  # decode on host when reached
+        self.error = None  # exception class to raise when reached
+        self.result = None  # (symbols bytes, consumed payload bytes)
+
+
+def _tree_arrays(tree_i16: np.ndarray):
+    """Deserialize + flatten to fixed (NT,) device arrays; returns None for
+    an empty tree, else (left, right, leaf_sym, depth)."""
+    left, right, index, root = deserialize_tree(tree_i16)
+    n = len(left)
+    if root < 0:
+        return None
+    trap = _NT - 1
+    L = np.full(_NT, trap, np.int32)
+    R = np.full(_NT, trap, np.int32)
+    S = np.full(_NT, -1, np.int32)
+    S[trap] = -2
+    L[:n] = np.where(left >= 0, left, trap)
+    R[:n] = np.where(right >= 0, right, trap)
+    is_leaf = (left < 0) & (right < 0)
+    S[:n] = np.where(is_leaf, index & 0xFF, -1)
+    # Depth via iterative preorder over child pointers.
+    depth = 0
+    stack = [(root, 0)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if left[node] >= 0:
+            stack.append((int(left[node]), d + 1))
+        if right[node] >= 0:
+            stack.append((int(right[node]), d + 1))
+    return L, R, S, depth
+
+
+def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
+    """Speculatively decode eligible candidates in batches on the device."""
+    import jax.numpy as jnp
+
+    eligible = []
+    for c in cands:
+        if c.n_sym == 0:
+            c.result = (b"", 0)
+            continue
+        if c.n_sym > 8 * c.avail:
+            # Each symbol consumes >= 1 bit: guaranteed short read if this
+            # block is ever reached (decoder.c:52-56 path).
+            c.error = ReadWriteError
+            continue
+        t = _tree_arrays(c.tree)
+        if t is None:
+            # NULL root with symbols to restore: reference NULL-derefs; we
+            # raise BTREE_CORRUPTED (SURVEY.md §7 item 8).
+            c.error = BtreeCorruptedError
+            continue
+        L, R, S, depth = t
+        if depth > ddec.MAX_WALK:
+            c.fallback = True  # host-exact path (adversarial-only)
+            continue
+        eligible.append((c, L, R, S))
+
+    # Sort by payload size so batches stay shape-homogeneous.
+    eligible.sort(key=lambda e: e[0].avail)
+    i = 0
+    while i < len(eligible):
+        # Greedy batch under the position budget.
+        P = _bucket(eligible[i][0].avail + 4, 64)  # +4: off-the-end detection
+        NP = 8 * P
+        B = max(1, _POSITION_BUDGET // NP)
+        batch = eligible[i : i + B]
+        while _bucket(batch[-1][0].avail + 4, 64) != P and len(batch) > 1:
+            batch.pop()
+        i += len(batch)
+        B = _bucket(len(batch), 1)
+        W = P // 4 + 1
+        words = np.zeros((B, W * 4), np.uint8)
+        Ls = np.zeros((B, _NT), np.int32)
+        Rs = np.zeros((B, _NT), np.int32)
+        Ss = np.full((B, _NT), -2, np.int32)
+        n_sym = np.ones(B, np.int32)
+        max_sym = 1
+        for b, (c, L, R, S) in enumerate(batch):
+            seg = data[c.payload_off : c.payload_off + min(c.avail, P)]
+            words[b, : len(seg)] = seg
+            Ls[b], Rs[b], Ss[b] = L, R, S
+            n_sym[b] = c.n_sym
+            max_sym = max(max_sym, c.n_sym)
+        wview = (
+            words.reshape(B, W, 4).astype(np.uint32)
+        )
+        w32 = (
+            (wview[:, :, 0] << 24) | (wview[:, :, 1] << 16)
+            | (wview[:, :, 2] << 8) | wview[:, :, 3]
+        )
+        A = _bucket(-(-max_sym // ddec.SEG), 1)
+        out, end_bit, corrupt = ddec.decode_blocks(
+            jnp.asarray(w32), jnp.asarray(Ls), jnp.asarray(Rs), jnp.asarray(Ss),
+            jnp.asarray(n_sym), NP, A,
+        )
+        out_h = np.asarray(out)
+        end_h = np.asarray(end_bit)
+        cor_h = np.asarray(corrupt)
+        for b, (c, *_rest) in enumerate(batch):
+            if cor_h[b]:
+                c.error = BtreeCorruptedError
+                continue
+            consumed = (int(end_h[b]) + 7) // 8
+            if consumed > c.avail:
+                c.error = ReadWriteError
+                continue
+            c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
+
+
+def decode(data: bytes, length: int | None = None, use_device: bool = True) -> bytes:
+    """Decode a libhuffman stream; parallel on device with host fallback."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if length is None:
+        length = len(buf)
+    if length == 0:
+        return b""
+
+    cand_map: dict[int, _Candidate] = {}
+    if use_device:
+        offs = find_candidate_headers(buf[:length])
+        # Pathological candidate explosion (crafted input): stay sequential.
+        if len(offs) <= max(64, length // 64):
+            mv = memoryview(data)
+            cands = []
+            for off in offs.tolist():
+                try:
+                    hdr = parse_block_header(mv, off)
+                except Exception:
+                    continue
+                avail = length - hdr.payload_off
+                if avail < 0:
+                    continue
+                c = _Candidate(off, hdr.n_sym, np.asarray(hdr.tree), hdr.payload_off, avail)
+                cands.append(c)
+                cand_map[off] = c
+            _decode_candidates_device(buf, cands)
+
+    out = []
+    mv = memoryview(data)
+    off = 0
+    while off < length:
+        c = cand_map.get(off)
+        if c is not None and c.error is not None:
+            raise c.error("Failed to decode the data")
+        if c is not None and c.result is not None:
+            syms, consumed = c.result
+            out.append(syms)
+            off = c.payload_off + consumed
+            continue
+        # Host-exact fallback for this block (also covers missed candidates).
+        hdr = parse_block_header(mv, off)
+        syms, consumed = hostref.decode_block_payload(
+            hdr.tree, buf[hdr.payload_off : length], hdr.n_sym
+        )
+        out.append(syms.tobytes())
+        off = hdr.payload_off + consumed
+    return b"".join(out)

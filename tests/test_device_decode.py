@@ -1,0 +1,88 @@
+"""Parallel device decode vs host codec, oracle streams, and error taxonomy."""
+
+import numpy as np
+import pytest
+
+from libhuffman_tpu import decode as dec_mod
+from libhuffman_tpu import encode as enc_mod
+from libhuffman_tpu.errors import (
+    BtreeCorruptedError,
+    BtreeOverflowError,
+    HuffmanError,
+    ReadWriteError,
+)
+from libhuffman_tpu.ops import hostref
+from oracle import ref_compress
+
+
+def _roundtrip(data: bytes, bs: int):
+    enc = ref_compress(data, bs if bs else len(data))
+    got = dec_mod.decode(enc)
+    assert got == data
+
+
+def test_decode_golden_small():
+    _roundtrip(b"0123456789", 65536)
+    _roundtrip(b"1", 256)
+    _roundtrip(b"aab", 65536)
+    _roundtrip(b"aabba", 2)
+
+
+def test_decode_multiblock_text():
+    data = (b"The quick brown fox jumps over the lazy dog. " * 2000)[:65536]
+    _roundtrip(data, 1024)
+    _roundtrip(data, 4096)
+
+
+def test_decode_single_symbol_run():
+    # All-"a" blocks: 1-bit codes, the densest pointer-jump chains.
+    _roundtrip(b"a" * 10000, 1024)
+
+
+def test_decode_zero_run_candidate_explosion():
+    # b"\x00" * N payloads are all-zero bytes: would flood the speculative
+    # candidate scan if n_sym=0 offsets weren't filtered; either way the
+    # chain must resolve (sequential fallback allowed).
+    _roundtrip(b"\x00" * 30000, 4096)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_decode_random_vs_oracle(seed):
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1, 30000))
+    data = rng.integers(0, 256 if seed % 2 else 4, n, dtype=np.uint8).tobytes()
+    bs = int(rng.choice([0, 100, 1024, 65536]))
+    _roundtrip(data, bs)
+
+
+def test_decode_own_encode():
+    data = open("/root/reference/README.md", "rb").read()
+    enc = enc_mod.encode(data, 2048)
+    assert dec_mod.decode(enc) == data
+
+
+def test_decode_errors():
+    assert dec_mod.decode(b"") == b""
+    with pytest.raises(BtreeOverflowError):
+        dec_mod.decode(b"\xde\xad\xbe\xef\x00\x00\x00\x00\xff\x7f" + b"\x00" * 16)
+    good = ref_compress(b"0123456789", 65536)
+    with pytest.raises(ReadWriteError):
+        dec_mod.decode(good[:20])
+    bad = bytearray(good)
+    bad[8:10] = (3).to_bytes(2, "little")
+    with pytest.raises((BtreeCorruptedError, ReadWriteError)):
+        dec_mod.decode(bytes(bad))
+    # Truncated payload: all-"a" stream cut mid-payload.
+    enc = ref_compress(b"a" * 10000, 0)
+    with pytest.raises(ReadWriteError):
+        dec_mod.decode(enc[:-1])
+    # Trailing garbage after a valid block.
+    with pytest.raises(HuffmanError):
+        dec_mod.decode(good + b"\x01\x02\x03")
+
+
+def test_decode_matches_reference_on_trailing_block():
+    # A second valid block appended: both must decode.
+    e1 = ref_compress(b"hello world", 0)
+    e2 = ref_compress(b"goodbye", 0)
+    assert dec_mod.decode(e1 + e2) == b"hello worldgoodbye"
