@@ -23,6 +23,19 @@ from .errors import (
     error_string,
 )
 from .format import DEFAULT_BLOCK_SIZE, DEFAULT_MEM_LIMIT
+from .api import (
+    HuffmanFile,
+    HuffmanCompressor,
+    HuffmanDecompressor,
+    compress,
+    decompress,
+    open,
+)
+# Low-level one-shot entry points live on the submodules to avoid shadowing
+# them: libhuffman_tpu.encode.encode(data, blocksize) and
+# libhuffman_tpu.decode.decode(stream); the bz2-style API above is the
+# public surface.
+from . import encode, decode  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -34,6 +47,12 @@ __all__ = [
     "BtreeOverflowError",
     "BtreeCorruptedError",
     "error_string",
+    "HuffmanFile",
+    "HuffmanCompressor",
+    "HuffmanDecompressor",
+    "compress",
+    "decompress",
+    "open",
     "DEFAULT_BLOCK_SIZE",
     "DEFAULT_MEM_LIMIT",
     "__version__",

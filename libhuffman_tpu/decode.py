@@ -153,16 +153,23 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             | (wview[:, :, 2] << 8) | wview[:, :, 3]
         )
         A = _bucket(-(-max_sym // ddec.SEG), 1)
-        out, end_bit, corrupt = ddec.decode_blocks(
+        out, end_bit, corrupt, bad_bit = ddec.decode_blocks(
             jnp.asarray(w32), jnp.asarray(Ls), jnp.asarray(Rs), jnp.asarray(Ss),
             jnp.asarray(n_sym), NP, A,
         )
         out_h = np.asarray(out)
         end_h = np.asarray(end_bit)
         cor_h = np.asarray(corrupt)
+        bad_h = np.asarray(bad_bit)
         for b, (c, *_rest) in enumerate(batch):
             if cor_h[b]:
-                c.error = BtreeCorruptedError
+                # Read-then-step precedence (decoder.c:52-71): a failing bit
+                # beyond the available payload is a short read, not
+                # corruption of a byte that was never read.
+                if int(bad_h[b]) // 8 < c.avail:
+                    c.error = BtreeCorruptedError
+                else:
+                    c.error = ReadWriteError
                 continue
             consumed = (int(end_h[b]) + 7) // 8
             if consumed > c.avail:
@@ -171,16 +178,16 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
 
 
-def decode(data: bytes, length: int | None = None, use_device: bool = True) -> bytes:
-    """Decode a libhuffman stream; parallel on device with host fallback."""
-    buf = np.frombuffer(data, dtype=np.uint8)
-    if length is None:
-        length = len(buf)
-    if length == 0:
-        return b""
+def _chain(data: bytes, length: int, use_device: bool):
+    """Resolve the block chain from offset 0.
 
+    Yields per-block decoded bytes; raises on the first failing block in
+    chain order.  ReadWriteError carries ``consumed`` (the offset of the
+    block whose data is incomplete) so incremental callers can buffer.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
     cand_map: dict[int, _Candidate] = {}
-    if use_device:
+    if use_device and length > 0:
         offs = find_candidate_headers(buf[:length])
         # Pathological candidate explosion (crafted input): stay sequential.
         if len(offs) <= max(64, length // 64):
@@ -203,19 +210,54 @@ def decode(data: bytes, length: int | None = None, use_device: bool = True) -> b
     mv = memoryview(data)
     off = 0
     while off < length:
-        c = cand_map.get(off)
-        if c is not None and c.error is not None:
-            raise c.error("Failed to decode the data")
-        if c is not None and c.result is not None:
-            syms, consumed = c.result
-            out.append(syms)
-            off = c.payload_off + consumed
-            continue
-        # Host-exact fallback for this block (also covers missed candidates).
-        hdr = parse_block_header(mv, off)
-        syms, consumed = hostref.decode_block_payload(
-            hdr.tree, buf[hdr.payload_off : length], hdr.n_sym
-        )
-        out.append(syms.tobytes())
-        off = hdr.payload_off + consumed
-    return b"".join(out)
+        try:
+            c = cand_map.get(off)
+            if c is not None and c.error is not None:
+                raise c.error("Failed to decode the data")
+            if c is not None and c.result is not None:
+                syms, consumed = c.result
+                out.append(syms)
+                off = c.payload_off + consumed
+                continue
+            # Host-exact fallback (missed candidates, deep trees, explosions).
+            hdr = parse_block_header(mv, off)
+            syms, consumed = hostref.decode_block_payload(
+                hdr.tree, buf[hdr.payload_off : length], hdr.n_sym
+            )
+            out.append(syms.tobytes())
+            off = hdr.payload_off + consumed
+        except ReadWriteError as e:
+            # Incomplete data at the chain tail: everything decoded so far
+            # is valid and ``off`` marks the incomplete block's start.
+            e.partial = (b"".join(out), off)
+            raise
+    return b"".join(out), off
+
+
+def decode(data: bytes, length: int | None = None, use_device: bool = True) -> bytes:
+    """Whole-stream decode with the reference's strict semantics: the first
+    failing block in chain order raises (src/decoder.c:218-275)."""
+    if length is None:
+        length = len(data)
+    if length == 0:
+        return b""
+    out, _ = _chain(data, length, use_device)
+    return out
+
+
+def decode_prefix(data: bytes, length: int | None = None,
+                  use_device: bool = True) -> tuple[bytes, int]:
+    """Decode every *complete* block; returns (output, consumed offset).
+
+    A trailing incomplete block (short header, tree, or payload) stops the
+    chain cleanly instead of raising — the incremental decompressor buffers
+    from ``consumed`` onward.  Corruption errors still raise.
+    """
+    if length is None:
+        length = len(data)
+    if length == 0:
+        return b"", 0
+    try:
+        return _chain(data, length, use_device)
+    except ReadWriteError as e:
+        return getattr(e, "partial", (b"", 0))

@@ -60,15 +60,16 @@ def _resolve_positions(win: jax.Array, left: jax.Array, right: jax.Array,
     to the trap node (id NT-1, self-looping, flagged); ``leaf_sym``: (B, NT)
     symbol for leaf nodes, -1 for internal, -2 for the trap.
 
-    Returns (sym, ln, bad): per-position decoded symbol (u8), code length
-    (i32, in [1, MAX_WALK]; positions that never reach a leaf get
-    MAX_WALK+1... clamped to 1 with bad=True), and a "corrupt-if-on-path"
-    flag.
+    Returns (sym, ln, bad, fail_off): per-position decoded symbol (u8), code
+    length (i32, in [1, MAX_WALK]), a "corrupt-if-on-path" flag, and the
+    in-code bit offset at which the walk failed (for error precedence: the
+    reference reads a byte *then* steps, src/decoder.c:52-71, so a trap on a
+    bit beyond the available payload is a short read, not corruption).
     """
     B, NP = win.shape
 
     def step(d, st):
-        state, sym, ln, done, bad = st
+        state, sym, ln, done, bad, fail_off = st
         bit = ((win >> jnp.uint32(31 - d)) & 1).astype(jnp.int32)
         nxt = jnp.where(
             bit == 1,
@@ -80,10 +81,11 @@ def _resolve_positions(win: jax.Array, left: jax.Array, right: jax.Array,
         hit_leaf = ~done & (s >= 0)
         sym = jnp.where(hit_leaf, s, sym)
         ln = jnp.where(hit_leaf, d + 1, ln)
+        fail_off = jnp.where(hit_trap, d, fail_off)
         bad = bad | hit_trap
         done = done | hit_leaf | hit_trap
         state = jnp.where(done, state, nxt)
-        return state, sym, ln, done, bad
+        return state, sym, ln, done, bad, fail_off
 
     st = (
         jnp.zeros((B, NP), jnp.int32),  # root is node 0
@@ -91,13 +93,14 @@ def _resolve_positions(win: jax.Array, left: jax.Array, right: jax.Array,
         jnp.ones((B, NP), jnp.int32),
         jnp.zeros((B, NP), bool),
         jnp.zeros((B, NP), bool),
+        jnp.full((B, NP), MAX_WALK, jnp.int32),
     )
-    state, sym, ln, done, bad = jax.lax.fori_loop(0, MAX_WALK, step, st)
+    state, sym, ln, done, bad, fail_off = jax.lax.fori_loop(0, MAX_WALK, step, st)
     # Never reached a leaf within MAX_WALK: impossible for a true code start
     # when tree depth <= MAX_WALK (host guarantees), so only garbage
     # positions — but if one lands on the path, flag it.
     bad = bad | ~done
-    return sym.astype(jnp.uint8), ln, bad
+    return sym.astype(jnp.uint8), ln, bad, fail_off
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -109,17 +112,20 @@ def decode_blocks(payload_words, left, right, leaf_sym, n_sym, NP: int, A: int):
     NP: static number of bit positions (= 8 * padded payload bytes).
     A: static number of SEG-symbol segments (A * SEG >= max n_sym).
 
-    Returns (out, end_bit, corrupt):
+    Returns (out, end_bit, corrupt, bad_bit):
       out (B, A*SEG) u8  — decoded symbols, valid through n_sym[b],
       end_bit (B,) i32   — exclusive bit offset after the last symbol
                             (consumed payload bytes = ceil(end_bit/8),
                             matching decoder.c:89-91 pad-bit handling),
-      corrupt (B,) bool  — a missing child was stepped on within the first
-                            n_sym codewords (HUF_ERROR_BTREE_CORRUPTED).
+      corrupt (B,) bool  — the walk failed within the first n_sym codewords,
+      bad_bit (B,) i32   — global bit index of the failing bit; the host maps
+                            it to BTREE_CORRUPTED (bit within the available
+                            payload) or READ_WRITE (bit beyond it), matching
+                            the reference's read-then-step ordering.
     """
     B = payload_words.shape[0]
     win = _windows(payload_words, NP)
-    sym, ln, bad = _resolve_positions(win, left, right, leaf_sym)
+    sym, ln, bad, fail_off = _resolve_positions(win, left, right, leaf_sym)
     nxt = jnp.minimum(
         jax.lax.broadcasted_iota(jnp.int32, (B, NP), 1) + ln, NP - 1
     )
@@ -156,9 +162,16 @@ def decode_blocks(payload_words, left, right, leaf_sym, n_sym, NP: int, A: int):
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, A * SEG), 1)
     used = idx < n_sym[:, None]
-    corrupt = jnp.any(bad_path & used, axis=1)
+    bad_used = bad_path & used
+    corrupt = jnp.any(bad_used, axis=1)
+    # First failing codeword (argmax of bool = first True) and the global
+    # index of the bit whose read/step failed.
+    first_bad = jnp.argmax(bad_used, axis=1).astype(jnp.int32)
+    bad_pos = jnp.take_along_axis(pos_path, first_bad[:, None], axis=1)
+    bad_off = jnp.take_along_axis(fail_off, bad_pos, axis=1)
+    bad_bit = (bad_pos + bad_off)[:, 0]
 
     # end_bit = next[ position of symbol n_sym-1 ].
     last_pos = jnp.take_along_axis(pos_path, n_sym[:, None] - 1, axis=1)
     end_bit = jnp.take_along_axis(nxt, last_pos, axis=1)[:, 0]
-    return out, end_bit, corrupt
+    return out, end_bit, corrupt, bad_bit

@@ -172,6 +172,9 @@ def encode(data: bytes, blocksize: int = 0) -> bytes:
     return b"".join(out)
 
 
+_walk_cache: dict = {}
+
+
 def _walk_tables(tree_i16: np.ndarray):
     """Deserialize a wire tree and precompute the byte-level walk table.
 
@@ -182,6 +185,9 @@ def _walk_tables(tree_i16: np.ndarray):
     plus per-(node, byte) the emitted symbols; -2 marks a corrupt walk.
     Built vectorized in O(nodes * 256 * 8).
     """
+    key = np.asarray(tree_i16, dtype=np.int16).tobytes()
+    if key in _walk_cache:
+        return _walk_cache[key]
     left, right, index, root = deserialize_tree(tree_i16)
     n = len(left)
     if root < 0:
@@ -214,7 +220,7 @@ def _walk_tables(tree_i16: np.ndarray):
         emitted[:, :, b] = np.where(for_rows, sy, -1)
         emit_count += for_rows
         states = ns
-    return {
+    tables = {
         "next8": states,  # (n,256): -2 once corrupted
         "emit_count": emit_count,
         "emitted": emitted,
@@ -225,6 +231,10 @@ def _walk_tables(tree_i16: np.ndarray):
         "is_leaf": is_leaf,
         "index": index,
     }
+    if len(_walk_cache) > 64:
+        _walk_cache.clear()
+    _walk_cache[key] = tables
+    return tables
 
 
 def decode_block_payload(
@@ -282,6 +292,32 @@ def decode_block_payload(
                     if restored >= n_sym:
                         break
     return out, pos
+
+
+def walk_progress(tree_i16: np.ndarray, payload, n_sym: int) -> int:
+    """How many of ``n_sym`` symbols the available payload already yields.
+
+    Used by the incremental decompressor to compute an exact lower bound on
+    the bytes still needed (each remaining symbol consumes >= 1 bit), so it
+    can skip hopeless decode attempts while never delaying a completable
+    block.  Returns ``n_sym`` if the payload is sufficient; corruption is
+    ignored here (the real decode attempt reports it).
+    """
+    t = _walk_tables(tree_i16)
+    if t is None:
+        return 0
+    buf = np.asarray(payload, dtype=np.uint8)
+    state, restored, pos = t["root"], 0, 0
+    next8, emit_count = t["next8"], t["emit_count"]
+    nbuf = len(buf)
+    while restored < n_sym and pos < nbuf:
+        byte = int(buf[pos])
+        pos += 1
+        if next8[state, byte] < 0:
+            break  # corrupt walk: let the decode attempt classify it
+        restored += int(emit_count[state, byte])
+        state = int(next8[state, byte])
+    return min(restored, n_sym)
 
 
 def decode(data: bytes, length: int | None = None) -> bytes:
