@@ -137,9 +137,20 @@ class HuffmanDecompressor:
             return len(buf)  # corrupt: next attempt raises it properly
         if hdr.n_sym == 0:
             return len(buf)
-        restored = hostref.walk_progress(
-            hdr.tree, memoryview(buf)[hdr.payload_off :], hdr.n_sym
-        )
+        from . import native
+
+        if native.available():
+            import numpy as np
+
+            restored = native.walk_progress(
+                np.asarray(hdr.tree, np.int16),
+                np.frombuffer(buf, np.uint8, offset=hdr.payload_off),
+                hdr.n_sym,
+            )
+        else:
+            restored = hostref.walk_progress(
+                hdr.tree, memoryview(buf)[hdr.payload_off :], hdr.n_sym
+            )
         return len(buf) + max(1, -(-(hdr.n_sym - restored) // 8))
 
     @property

@@ -32,6 +32,7 @@ from .format import (
     find_candidate_headers,
     parse_block_header,
 )
+from . import native
 from .ops import hostref
 from .ops import decode_device as ddec
 
@@ -65,21 +66,23 @@ class _Candidate:
 
 
 def _tree_arrays(tree_i16: np.ndarray):
-    """Deserialize + flatten to fixed (NT,) device arrays; returns None for
-    an empty tree, else (left, right, leaf_sym, depth)."""
+    """Deserialize + flatten to the packed (NT,) uint32 node table
+    (left(11) | right(11) | symcode(9); symcode 0..255 = leaf symbol,
+    256 = internal, 257 = trap); returns None for an empty tree, else
+    (packed, depth)."""
     left, right, index, root = deserialize_tree(tree_i16)
     n = len(left)
     if root < 0:
         return None
     trap = _NT - 1
-    L = np.full(_NT, trap, np.int32)
-    R = np.full(_NT, trap, np.int32)
-    S = np.full(_NT, -1, np.int32)
-    S[trap] = -2
-    L[:n] = np.where(left >= 0, left, trap)
-    R[:n] = np.where(right >= 0, right, trap)
+    L = np.full(_NT, trap, np.uint32)
+    R = np.full(_NT, trap, np.uint32)
+    SC = np.full(_NT, 257, np.uint32)  # trap marker everywhere unused
+    L[:n] = np.where(left >= 0, left, trap).astype(np.uint32)
+    R[:n] = np.where(right >= 0, right, trap).astype(np.uint32)
     is_leaf = (left < 0) & (right < 0)
-    S[:n] = np.where(is_leaf, index & 0xFF, -1)
+    SC[:n] = np.where(is_leaf, index & 0xFF, 256).astype(np.uint32)
+    packed = L | (R << 11) | (SC << 22)
     # Depth via iterative preorder over child pointers.
     depth = 0
     stack = [(root, 0)]
@@ -90,14 +93,16 @@ def _tree_arrays(tree_i16: np.ndarray):
             stack.append((int(left[node]), d + 1))
         if right[node] >= 0:
             stack.append((int(right[node]), d + 1))
-    return L, R, S, depth
+    return packed, depth
 
 
 def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
     """Speculatively decode eligible candidates in batches on the device."""
     import jax.numpy as jnp
 
-    eligible = []
+    # Pre-filter, then deserialize all candidate trees in one native batch
+    # call (python recursion per block is the host bottleneck otherwise).
+    pending = []
     for c in cands:
         if c.n_sym == 0:
             c.result = (b"", 0)
@@ -107,42 +112,64 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             # block is ever reached (decoder.c:52-56 path).
             c.error = ReadWriteError
             continue
-        t = _tree_arrays(c.tree)
-        if t is None:
-            # NULL root with symbols to restore: reference NULL-derefs; we
-            # raise BTREE_CORRUPTED (SURVEY.md §7 item 8).
-            c.error = BtreeCorruptedError
-            continue
-        L, R, S, depth = t
+        pending.append(c)
+
+    packed_all = depths_all = counts_all = None
+    if pending and native.available():
+        bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in pending])
+        lens = np.array([len(c.tree) for c in pending], np.int32)
+        offs = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+        packed_all, counts_all, depths_all = native.deserialize_trees(
+            bufs, offs, lens
+        )
+
+    eligible = []
+    for i, c in enumerate(pending):
+        if packed_all is not None:
+            if counts_all[i] < 0:
+                # NULL root with symbols to restore: reference NULL-derefs;
+                # we raise BTREE_CORRUPTED (SURVEY.md §7 item 8).
+                c.error = BtreeCorruptedError
+                continue
+            packed, depth = packed_all[i], int(depths_all[i])
+        else:
+            t = _tree_arrays(c.tree)
+            if t is None:
+                c.error = BtreeCorruptedError
+                continue
+            packed, depth = t
         if depth > ddec.MAX_WALK:
             c.fallback = True  # host-exact path (adversarial-only)
             continue
-        eligible.append((c, L, R, S))
+        # Sound payload upper bound: every code is <= depth bits, so this
+        # block consumes at most ceil(n_sym*depth/8) payload bytes.  Sizing
+        # buffers by this (not by the remaining stream) keeps batches
+        # shape-homogeneous and avoids decoding into other blocks' bytes.
+        cap = min(c.avail, (c.n_sym * depth + 7) // 8)
+        eligible.append((c, packed, cap))
 
     # Sort by payload size so batches stay shape-homogeneous.
-    eligible.sort(key=lambda e: e[0].avail)
+    eligible.sort(key=lambda e: e[2])
     i = 0
     while i < len(eligible):
         # Greedy batch under the position budget.
-        P = _bucket(eligible[i][0].avail + 4, 64)  # +4: off-the-end detection
+        P = _bucket(eligible[i][2] + 4, 64)  # +4: off-the-end detection
         NP = 8 * P
         B = max(1, _POSITION_BUDGET // NP)
         batch = eligible[i : i + B]
-        while _bucket(batch[-1][0].avail + 4, 64) != P and len(batch) > 1:
+        while _bucket(batch[-1][2] + 4, 64) != P and len(batch) > 1:
             batch.pop()
         i += len(batch)
         B = _bucket(len(batch), 1)
         W = P // 4 + 1
         words = np.zeros((B, W * 4), np.uint8)
-        Ls = np.zeros((B, _NT), np.int32)
-        Rs = np.zeros((B, _NT), np.int32)
-        Ss = np.full((B, _NT), -2, np.int32)
+        trees = np.zeros((B, _NT), np.uint32)
         n_sym = np.ones(B, np.int32)
         max_sym = 1
-        for b, (c, L, R, S) in enumerate(batch):
-            seg = data[c.payload_off : c.payload_off + min(c.avail, P)]
+        for b, (c, packed, cap) in enumerate(batch):
+            seg = data[c.payload_off : c.payload_off + min(cap, P)]
             words[b, : len(seg)] = seg
-            Ls[b], Rs[b], Ss[b] = L, R, S
+            trees[b] = packed
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
         wview = (
@@ -153,14 +180,18 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             | (wview[:, :, 2] << 8) | wview[:, :, 3]
         )
         A = _bucket(-(-max_sym // ddec.SEG), 1)
-        out, end_bit, corrupt, bad_bit = ddec.decode_blocks(
-            jnp.asarray(w32), jnp.asarray(Ls), jnp.asarray(Rs), jnp.asarray(Ss),
-            jnp.asarray(n_sym), NP, A,
+        out, end_bit, corrupt, bad_bit, unresolved = ddec.decode_blocks(
+            jnp.asarray(w32), jnp.asarray(trees), jnp.asarray(n_sym), NP, A,
         )
         out_h = np.asarray(out)
         end_h = np.asarray(end_bit)
         cor_h = np.asarray(corrupt)
         bad_h = np.asarray(bad_bit)
+        if int(unresolved) > 0:
+            # Escape-compaction overflow (adversarial windows): host path.
+            for c, *_ in batch:
+                c.fallback = True
+            continue
         for b, (c, *_rest) in enumerate(batch):
             if cor_h[b]:
                 # Read-then-step precedence (decoder.c:52-71): a failing bit
@@ -221,11 +252,27 @@ def _chain(data: bytes, length: int, use_device: bool):
                 continue
             # Host-exact fallback (missed candidates, deep trees, explosions).
             hdr = parse_block_header(mv, off)
-            syms, consumed = hostref.decode_block_payload(
-                hdr.tree, buf[hdr.payload_off : length], hdr.n_sym
-            )
-            out.append(syms.tobytes())
-            off = hdr.payload_off + consumed
+            if native.available():
+                err, consumed_b, produced, _blocks, o = native.scan_stream(
+                    buf[off:length], decode=True, out_cap=hdr.n_sym,
+                    max_blocks=1,
+                )
+                if err == 3:
+                    raise ReadWriteError("Failed to decode the data")
+                if err == 5:
+                    from .errors import BtreeOverflowError
+
+                    raise BtreeOverflowError("Failed to decode the data")
+                if err == 6:
+                    raise BtreeCorruptedError("Failed to decode the data")
+                out.append(o[:produced].tobytes())
+                off = off + consumed_b
+            else:
+                syms, consumed = hostref.decode_block_payload(
+                    hdr.tree, buf[hdr.payload_off : length], hdr.n_sym
+                )
+                out.append(syms.tobytes())
+                off = hdr.payload_off + consumed
         except ReadWriteError as e:
             # Incomplete data at the chain tail: everything decoded so far
             # is valid and ``off`` marks the incomplete block's start.

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .format import ArrayTree, DEFAULT_BLOCK_SIZE, pack_block, serialize_tree
+from . import native
 from .ops import device as dev
 from .ops import hostref
 
@@ -39,19 +40,24 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
     """Encode a (B, N) uint8 batch; returns per-block wire bytes."""
     import jax.numpy as jnp
 
-    left, right, root, codes, lens, overflow, total_bits = dev.encode_stage1(
-        jnp.asarray(batch), jnp.asarray(n_valid)
+    N = batch.shape[1]
+    payload, total_bits, left, right, root, overflow = dev.encode_blocks(
+        jnp.asarray(batch), jnp.asarray(n_valid), N
     )
     total_bits_h = np.asarray(total_bits)
     overflow_h = np.asarray(overflow)
-    W = _bucket(max(1, -(-int(total_bits_h.max()) // 32)), 256)
-    payload, _ = dev.encode_stage2(
-        jnp.asarray(batch), jnp.asarray(n_valid), codes, lens, W
-    )
-    payload_h = np.asarray(payload)
+    # Transfer only a bucketed prefix of the padded payload buffer: rows are
+    # ragged and the device->host link is the bottleneck (the worst-case
+    # buffer is 4N bytes/row but typical payloads are ~0.6N).
+    maxb = _bucket(max(1, (int(total_bits_h.max()) + 7) // 8), 1024)
+    payload_h = np.asarray(payload[:, : min(maxb, 4 * N)])
     left_h = np.asarray(left)
     right_h = np.asarray(right)
     root_h = np.asarray(root)
+
+    trees = lens_t = None
+    if native.available():
+        trees, lens_t = native.serialize_trees(left_h, right_h, root_h)
 
     out = []
     for b in range(len(batch)):
@@ -61,7 +67,10 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
         if overflow_h[b]:
             out.append(hostref.encode_block(batch[b, :nv]))
             continue
-        tree = serialize_tree(ArrayTree(left_h[b], right_h[b], int(root_h[b])))
+        if trees is not None:
+            tree = trees[b, : lens_t[b]]
+        else:
+            tree = serialize_tree(ArrayTree(left_h[b], right_h[b], int(root_h[b])))
         nbytes = (int(total_bits_h[b]) + 7) // 8
         out.append(pack_block(nv, tree, payload_h[b, :nbytes].tobytes()))
     return out

@@ -1,0 +1,121 @@
+"""ctypes binding for the native host runtime (native/huffman_native.cpp).
+
+The native library owns host-side per-block work at stream scale: batch tree
+(de)serialization and the exact sequential walk (fallback + boundary scan +
+incremental progress measurement).  Compiled on first use into a cache dir;
+every entry point has a pure-Python equivalent, so absence of a toolchain
+degrades performance, never correctness (``available()`` gates callers).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import pathlib
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "huffman_native.cpp"
+NT = 1027
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    cache = pathlib.Path(
+        os.environ.get("LIBHUFFMAN_TPU_NATIVE_DIR",
+                       pathlib.Path(tempfile.gettempdir()) / "libhuffman_tpu_native")
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / "libhuffman_native.so"
+    if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", str(_SRC),
+             "-o", str(so)],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(str(so))
+    i8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    lib.serialize_trees.argtypes = [i32p, i32p, i32p, ctypes.c_int32, i16p, i32p]
+    lib.deserialize_trees.argtypes = [
+        i16p, i64p, i32p, ctypes.c_int32, u32p, ctypes.c_int32, i32p, i32p]
+    lib.scan_stream.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.scan_stream.restype = ctypes.c_int32
+    lib.walk_progress.argtypes = [
+        i16p, ctypes.c_int32, i8p, ctypes.c_int64, ctypes.c_uint64]
+    lib.walk_progress.restype = ctypes.c_uint64
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def serialize_trees(left: np.ndarray, right: np.ndarray, root: np.ndarray):
+    """(B,512)x2 + (B,) array trees -> (out[B,1025] int16, lens[B] int32)."""
+    B = len(root)
+    out = np.empty((B, 1025), np.int16)
+    lens = np.empty(B, np.int32)
+    _lib().serialize_trees(
+        np.ascontiguousarray(left, np.int32),
+        np.ascontiguousarray(right, np.int32),
+        np.ascontiguousarray(root, np.int32),
+        B, out, lens,
+    )
+    return out, lens
+
+
+def deserialize_trees(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Concatenated int16 trees -> (packed[B,NT] uint32, counts, depths)."""
+    B = len(offs)
+    nodes = np.empty((B, NT), np.uint32)
+    counts = np.empty(B, np.int32)
+    depths = np.empty(B, np.int32)
+    _lib().deserialize_trees(
+        np.ascontiguousarray(bufs, np.int16),
+        np.ascontiguousarray(offs, np.int64),
+        np.ascontiguousarray(lens, np.int32),
+        B, nodes, NT, counts, depths,
+    )
+    return nodes, counts, depths
+
+
+def scan_stream(data: np.ndarray, decode: bool = False, out_cap: int = 0,
+                max_blocks: int = -1):
+    """Sequential chain scan (optionally decoding, optionally bounded).
+
+    Returns (err, consumed, produced, blocks, out_bytes_or_None) with
+    huf_error_t-compatible err codes (0/3/5/6).
+    """
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(out_cap, np.uint8) if decode else None
+    consumed = ctypes.c_int64()
+    produced = ctypes.c_int64()
+    blocks = ctypes.c_int64()
+    err = _lib().scan_stream(
+        data, len(data),
+        out.ctypes.data_as(ctypes.c_void_p) if out is not None else None,
+        out_cap, ctypes.byref(consumed), ctypes.byref(produced),
+        ctypes.byref(blocks), max_blocks,
+    )
+    return err, consumed.value, produced.value, blocks.value, out
+
+
+def walk_progress(tree: np.ndarray, payload: np.ndarray, n_sym: int) -> int:
+    return int(_lib().walk_progress(
+        np.ascontiguousarray(tree, np.int16), len(tree),
+        np.ascontiguousarray(payload, np.uint8), len(payload), n_sym,
+    ))

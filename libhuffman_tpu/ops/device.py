@@ -236,7 +236,7 @@ def pack_words(C: jax.Array, L: jax.Array, ends: jax.Array, W: int) -> jax.Array
     wstart = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) * 32
     # First byte whose code ends after the word starts.
     j0 = jax.vmap(lambda e: jnp.searchsorted(e, wstart, side="right"))(ends)
-    j0 = j0.astype(jnp.int32)
+    j0 = jax.lax.optimization_barrier(j0.astype(jnp.int32))
     wstart_b = wstart[None, :]
 
     def cand(k, word):
@@ -266,26 +266,37 @@ def words_to_bytes(words: jax.Array) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
-# Jitted pipeline stages
+# Jitted pipeline
 # --------------------------------------------------------------------------
+#
+# The whole encode runs as ONE jitted program.  A split pipeline (histogram/
+# tree/codes first, host-sized word buffer, pack second) was measured 16000x
+# slower on TPU purely from the stage boundary: arrays produced by one
+# executable and consumed by another picked up pathological device layouts
+# (1.6 s vs 0.1 ms for identical shapes with fresh inputs).  Fusing also
+# saves a dispatch (the axon tunnel costs ~28 ms per call).  The word buffer
+# uses the exact worst case W = N (codes are <= 32 bits = 32N bits = N
+# words), so no pre-sizing pass is needed.
 
-@jax.jit
-def encode_stage1(blocks: jax.Array, n_valid: jax.Array):
-    """Histogram -> tree -> codes -> total payload bits (no per-byte pass).
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int):
+    """Full batched encode: (B, N) u8 + valid lengths -> per-block payload
+    bytes, bit totals, array trees, and the deep-code overflow flag.
 
-    total_bits = freqs . lens is exact without touching the byte stream, so
-    the host can size the word buffer (static W) before the pack stage runs.
+    optimization_barrier between phases keeps XLA from rematerializing a
+    producer (e.g. the histogram) inside a consumer loop's body.
     """
     freqs = histogram(blocks, n_valid)
-    left, right, parent, root = build_trees(freqs)
-    codes, lens, overflow = extract_codes(left, parent)
+    freqs = jax.lax.optimization_barrier(freqs)
+    left, right, parent, root = jax.lax.optimization_barrier(
+        build_trees(freqs)
+    )
+    codes, lens, overflow = jax.lax.optimization_barrier(
+        extract_codes(left, parent)
+    )
     total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
-    return left, right, root, codes, lens, overflow, total_bits
-
-
-@functools.partial(jax.jit, static_argnums=(4,))
-def encode_stage2(blocks, n_valid, codes, lens, W: int):
-    """Per-byte layout + word packing -> (B, 4W) payload bytes + bit totals."""
-    C, L, ends, total_bits = symbol_layout(blocks, codes, lens, n_valid)
+    C, L, ends, _ = jax.lax.optimization_barrier(
+        symbol_layout(blocks, codes, lens, n_valid)
+    )
     words = pack_words(C, L, ends, W)
-    return words_to_bytes(words), total_bits
+    return words_to_bytes(words), total_bits, left, right, root, overflow

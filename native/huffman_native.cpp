@@ -1,0 +1,239 @@
+// Native host runtime for libhuffman_tpu.
+//
+// The TPU kernels own the compute path; this library owns the host-side
+// per-block work that Python is too slow for at stream scale:
+//
+//   * batch preorder tree serialization  (encode header generation)
+//   * batch preorder tree deserialization -> packed node tables (decode prep)
+//   * sequential block walk             (exact fallback + boundary scanning)
+//
+// Built from scratch against the wire format specification (SURVEY.md §2.9);
+// layout notes cite the reference implementation for parity, e.g. the
+// preorder emit order (reference src/tree.c:233-270) and the decoder's
+// read-then-step error ordering (reference src/decoder.c:52-91).
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Batch preorder serialization.
+//
+// Array-form trees over 512 slots (slot<256 = leaf for that symbol, >=256 =
+// internal in merge order). Emits node index, left subtree, right subtree;
+// missing child emits -1. Returns per-tree serialized length.
+// out stride is 1025 int16 (the true worst case: 512 nodes + 513 nulls).
+// ---------------------------------------------------------------------------
+void serialize_trees(const int32_t* left,   // [B, 512]
+                     const int32_t* right,  // [B, 512]
+                     const int32_t* root,   // [B]
+                     int32_t B,
+                     int16_t* out,          // [B, 1025]
+                     int32_t* out_len)      // [B]
+{
+    for (int32_t b = 0; b < B; ++b) {
+        const int32_t* L = left + (int64_t)b * 512;
+        const int32_t* R = right + (int64_t)b * 512;
+        int16_t* o = out + (int64_t)b * 1025;
+        int32_t pos = 0;
+        if (root[b] < 0) { out_len[b] = 0; continue; }
+        // Explicit stack of slot ids; -1 entries emit the leaf marker.
+        int32_t stack[1100];
+        int32_t sp = 0;
+        stack[sp++] = root[b];
+        while (sp > 0) {
+            int32_t node = stack[--sp];
+            if (node < 0) { o[pos++] = -1; continue; }
+            o[pos++] = (int16_t)node;
+            stack[sp++] = R[node];
+            stack[sp++] = L[node];
+        }
+        out_len[b] = pos;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Preorder deserialization into the packed node-table form the decode kernel
+// consumes: left(11) | right(11) | symcode(9), symcode: 0..255 leaf symbol,
+// 256 internal, 257 trap. Node 0 is the root; missing children point at the
+// trap node (nt-1). Returns node count (<0 on overflow) and tree depth.
+//
+// Iterative emulation of the recursive grammar: node := index left right,
+// where -1 terminates a branch (reference src/tree.c:139-208; truncated
+// input yields missing children, not an error).
+// ---------------------------------------------------------------------------
+static int32_t deser_rec(const int16_t* buf, int32_t pos, int32_t limit,
+                         uint32_t* nodes, int32_t* count, int32_t nt,
+                         int32_t* consumed, int32_t depth, int32_t* maxdepth)
+{
+    if (limit < 1) { *consumed = 0; return nt - 1; }
+    int16_t v = buf[pos];
+    if (v == -1) { *consumed = 1; return nt - 1; }
+    if (*count >= nt - 1) { *consumed = 1; return nt - 1; }  // overflow guard
+    int32_t me = (*count)++;
+    if (depth > *maxdepth) *maxdepth = depth;
+    int32_t lc = 0, rc = 0;
+    int32_t l = deser_rec(buf, pos + 1, limit - 1, nodes, count, nt, &lc,
+                          depth + 1, maxdepth);
+    int32_t r = deser_rec(buf, pos + 1 + lc, limit - 1 - lc, nodes, count, nt,
+                          &rc, depth + 1, maxdepth);
+    uint32_t symcode;
+    bool is_leaf = (l == nt - 1) && (r == nt - 1);
+    if (is_leaf) symcode = (uint32_t)(v & 0xFF);
+    else symcode = 256u;
+    nodes[me] = (uint32_t)l | ((uint32_t)r << 11) | (symcode << 22);
+    *consumed = 1 + lc + rc;
+    return me;
+}
+
+// Returns: node count, or -1 if the tree has no root. depth_out gets the
+// max root-to-leaf edge count (code length bound).
+int32_t deserialize_tree(const int16_t* buf, int32_t len,
+                         uint32_t* nodes,  // [nt]
+                         int32_t nt,
+                         int32_t* depth_out)
+{
+    // Fill with trap self-loops.
+    uint32_t trap = (uint32_t)(nt - 1) | ((uint32_t)(nt - 1) << 11)
+                  | (257u << 22);
+    for (int32_t i = 0; i < nt; ++i) nodes[i] = trap;
+    int32_t count = 0, consumed = 0, maxd = 0;
+    int32_t root = deser_rec(buf, 0, len, nodes, &count, nt, &consumed, 0,
+                             &maxd);
+    *depth_out = maxd;  // deepest leaf's node-depth == max code length
+    if (root == nt - 1 || count == 0) return -1;
+    return count;
+}
+
+// Batch variant: trees packed back-to-back with offsets/lengths.
+void deserialize_trees(const int16_t* bufs, const int64_t* offs,
+                       const int32_t* lens, int32_t B,
+                       uint32_t* nodes,     // [B, nt]
+                       int32_t nt,
+                       int32_t* counts,     // [B]
+                       int32_t* depths)     // [B]
+{
+    for (int32_t b = 0; b < B; ++b) {
+        counts[b] = deserialize_tree(bufs + offs[b], lens[b],
+                                     nodes + (int64_t)b * nt, nt, &depths[b]);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Sequential block walk: decode up to n_sym symbols from payload.
+//
+// Per-bit tree walk with emit-and-reset (reference src/decoder.c:34-96):
+// read a byte, then step per bit MSB->LSB; stepping into a missing child is
+// corruption; the byte containing the last symbol is consumed whole and its
+// remaining pad bits ignored.
+//
+// Returns:  >=0  payload bytes consumed (restored == n_sym)
+//           -1   corruption (trap stepped within available bytes)
+//           -2   short read (payload exhausted before n_sym symbols)
+// out may be null (pure scan / progress measurement).
+// restored_out receives the number of symbols produced either way.
+// ---------------------------------------------------------------------------
+int64_t walk_block(const uint32_t* nodes, int32_t nt,
+                   const uint8_t* payload, int64_t payload_len,
+                   uint64_t n_sym, uint8_t* out, uint64_t* restored_out)
+{
+    uint64_t restored = 0;
+    int32_t state = 0;  // root
+    int64_t pos = 0;
+    int32_t trap = nt - 1;
+    while (restored < n_sym) {
+        if (pos >= payload_len) { *restored_out = restored; return -2; }
+        uint8_t byte = payload[pos++];
+        for (int b = 7; b >= 0; --b) {
+            uint32_t node = nodes[state];
+            int32_t nxt = (byte >> b) & 1 ? (int32_t)((node >> 11) & 0x7FF)
+                                          : (int32_t)(node & 0x7FF);
+            if (nxt == trap) { *restored_out = restored; return -1; }
+            uint32_t sc = nodes[nxt] >> 22;
+            if (sc < 256) {
+                if (out) out[restored] = (uint8_t)sc;
+                ++restored;
+                state = 0;
+                if (restored >= n_sym) break;  // pad bits ignored
+            } else {
+                state = nxt;
+            }
+        }
+    }
+    *restored_out = restored;
+    return pos;
+}
+
+// ---------------------------------------------------------------------------
+// Sequential whole-stream scan/decode.
+//
+// Walks the block chain from offset 0 (reference src/decoder.c:218-275).
+// For each block: u64 LE original length, i16 LE tree length, tree, payload.
+// Decodes into out (if non-null, must hold the full decoded size).
+//
+// Returns 0 ok; 3 READ_WRITE; 5 BTREE_OVERFLOW; 6 BTREE_CORRUPTED
+// (huf_error_t-compatible codes). consumed_out: bytes of stream consumed;
+// produced_out: decoded bytes written/counted; blocks_out: block count.
+// ---------------------------------------------------------------------------
+int32_t scan_stream(const uint8_t* data, int64_t length,
+                    uint8_t* out, int64_t out_cap,
+                    int64_t* consumed_out, int64_t* produced_out,
+                    int64_t* blocks_out, int64_t max_blocks)
+{
+    const int32_t NT = 1027;
+    uint32_t nodes[1027];
+    int64_t off = 0, produced = 0, blocks = 0;
+    *consumed_out = 0; *produced_out = 0; *blocks_out = 0;
+    while (off < length && (max_blocks < 0 || blocks < max_blocks)) {
+        if (off + 10 > length) return 3;
+        uint64_t n_sym;
+        std::memcpy(&n_sym, data + off, 8);
+        int16_t tree_len;
+        std::memcpy(&tree_len, data + off + 8, 2);
+        if (tree_len < 0 || tree_len > 1025) return 5;
+        int64_t tree_off = off + 10;
+        if (tree_off + 2LL * tree_len > length) return 3;
+        int32_t depth = 0;
+        int32_t cnt = deserialize_tree(
+            (const int16_t*)(data + tree_off), tree_len, nodes, NT, &depth);
+        int64_t payload_off = tree_off + 2LL * tree_len;
+        if (n_sym > 0) {
+            if (cnt < 0) return 6;  // NULL root with data (ref NULL-derefs)
+            if (out && produced + (int64_t)n_sym > out_cap) return 3;
+            uint64_t restored = 0;
+            int64_t used = walk_block(nodes, NT, data + payload_off,
+                                      length - payload_off, n_sym,
+                                      out ? out + produced : nullptr,
+                                      &restored);
+            if (used == -1) return 6;
+            if (used == -2) return 3;
+            produced += (int64_t)n_sym;
+            off = payload_off + used;
+        } else {
+            off = payload_off;
+        }
+        ++blocks;
+        *consumed_out = off; *produced_out = produced; *blocks_out = blocks;
+    }
+    return 0;
+}
+
+// Measure-only variant used by the incremental decompressor: how many
+// symbols does the available payload of a single block yield?
+uint64_t walk_progress(const int16_t* tree, int32_t tree_len,
+                       const uint8_t* payload, int64_t payload_len,
+                       uint64_t n_sym)
+{
+    const int32_t NT = 1027;
+    uint32_t nodes[1027];
+    int32_t depth = 0;
+    if (deserialize_tree(tree, tree_len, nodes, NT, &depth) < 0) return 0;
+    uint64_t restored = 0;
+    walk_block(nodes, NT, payload, payload_len, n_sym, nullptr, &restored);
+    return restored;
+}
+
+}  // extern "C"
