@@ -252,6 +252,10 @@ def _chain(data: bytes, length: int, use_device: bool):
                 continue
             # Host-exact fallback (missed candidates, deep trees, explosions).
             hdr = parse_block_header(mv, off)
+            if hdr.n_sym > 8 * max(length - hdr.payload_off, 0):
+                # Each symbol consumes >= 1 bit: guaranteed short read.  Also
+                # guards output allocation against adversarial u64 lengths.
+                raise ReadWriteError("Failed to decode the data")
             if native.available():
                 err, consumed_b, produced, _blocks, o = native.scan_stream(
                     buf[off:length], decode=True, out_cap=hdr.n_sym,

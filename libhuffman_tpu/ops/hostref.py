@@ -249,6 +249,10 @@ def decode_block_payload(
     """
     if n_sym == 0:
         return np.zeros(0, dtype=np.uint8), 0
+    if n_sym > 8 * len(payload):
+        # Each symbol consumes >= 1 bit: guaranteed short read; checking
+        # before the output allocation guards adversarial u64 block lengths.
+        raise ReadWriteError("Failed to decode the data")
     t = _walk_tables(tree_i16)
     if t is None:
         # NULL root with data to restore: the reference would crash; raise
