@@ -16,11 +16,12 @@ round, bit emission per bit) become:
                          codeword values (fast path: code length <= 32 bits,
                          which covers every physically possible block up to
                          ~2 MB; deeper blocks are flagged for host fallback),
-  * ``pack_words``     — branch-free bit packer: exclusive-scan bit offsets,
-                         then each output 32-bit word gathers its <= 33
-                         overlapping codewords and ORs their aligned bits
-                         (replaces the sequential 1-byte bit accumulator,
-                         src/bufio.c:16-32).
+  * ``pack_tree.pack_words`` — gather-free bit packer: a balanced merge tree
+                         of barrel shifts concatenates the per-symbol
+                         codewords (see ops/pack_tree.py; replaces the
+                         sequential 1-byte bit accumulator, src/bufio.c:16-32).
+                         The symbol->code lookup itself is a one-hot MXU
+                         contraction (ops/mxu_gather.py).
 
 All shapes are static; ragged blocks are padded and masked via ``n_valid``.
 """
@@ -34,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format import ASCII_COUNT, HISTOGRAM_LEN
+from . import mxu_gather, pack_tree
 
 MAX_CODE_BITS = 32  # device fast-path limit; see module docstring
 _BIG = jnp.int32(1 << 30)
@@ -204,56 +206,23 @@ def extract_codes(left: jax.Array, parent: jax.Array):
 
 def symbol_layout(blocks: jax.Array, codes: jax.Array, lens: jax.Array,
                   n_valid: jax.Array):
-    """Per-position code length / offset / codeword for a block batch.
+    """Per-position codeword and code length for a block batch.
 
-    Returns (C, L, ends, total_bits): the codeword and bit length of every
-    input byte, the inclusive cumsum of lengths (= end bit offset of each
-    byte's code), and per-block total payload bits.
+    The symbol->code lookup rides the MXU as a one-hot contraction
+    (ops/mxu_gather) instead of a per-lane gather: a single fused lookup of
+    the four code bytes plus the length byte per input position.
     """
     B, N = blocks.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
     sym = blocks.astype(jnp.int32)
-    L = jnp.take_along_axis(lens, sym, axis=1)
-    L = jnp.where(pos < n_valid[:, None], L, 0)
-    C = jnp.take_along_axis(codes, sym, axis=1)
-    ends = jnp.cumsum(L, axis=1)
-    return C, L, ends, ends[:, -1]
-
-
-def pack_words(C: jax.Array, L: jax.Array, ends: jax.Array, W: int) -> jax.Array:
-    """Pack codewords into (B, W) big-endian u32 words.
-
-    Word w covers payload bits [32w, 32w+32) with bit 32w as its MSB (the
-    format's MSB-first byte order, src/bufio.c:19-23).  Each word gathers the
-    <= 33 codewords that can overlap it (each code is >= 1 bit, so at most 32
-    start inside the window plus one straddling its left edge), aligns each
-    via a single shift — low bits naturally wrap out for codes straddling the
-    left edge, high bits for the right — and ORs them (codes never overlap,
-    so OR == sum).  Entirely gather/shift/or: no scatter, no serialization.
-    """
-    B, N = C.shape
-    offsets = ends - L
-    wstart = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) * 32
-    # First byte whose code ends after the word starts.
-    j0 = jax.vmap(lambda e: jnp.searchsorted(e, wstart, side="right"))(ends)
-    j0 = jax.lax.optimization_barrier(j0.astype(jnp.int32))
-    wstart_b = wstart[None, :]
-
-    def cand(k, word):
-        j = jnp.clip(j0 + k, 0, N - 1)
-        off = jnp.take_along_axis(offsets, j, axis=1)
-        ln = jnp.take_along_axis(L, j, axis=1)
-        cd = jnp.take_along_axis(C, j, axis=1)
-        srel = off - wstart_b
-        ok = (ln > 0) & (srel < 32) & (srel + ln > 0)
-        s = 32 - ln - srel  # in (-32, 32) whenever ok
-        lsh = jnp.clip(s, 0, 31).astype(jnp.uint32)
-        rsh = jnp.clip(-s, 0, 31).astype(jnp.uint32)
-        v = jnp.where(s >= 0, cd << lsh, cd >> rsh)
-        return word | jnp.where(ok, v, jnp.uint32(0))
-
-    word = jnp.zeros((B, W), jnp.uint32)
-    return jax.lax.fori_loop(0, 33, cand, word)
+    pieces = jnp.concatenate(
+        [mxu_gather.split_bytes(codes, 4),
+         lens.astype(jnp.uint8)[:, :, None]], axis=2
+    )  # (B, 256, 5)
+    g = mxu_gather.gather_bytes(pieces, sym).astype(jnp.uint32)  # (B, N, 5)
+    C = g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16) | (g[..., 3] << 24)
+    L = jnp.where(pos < n_valid[:, None], g[..., 4].astype(jnp.int32), 0)
+    return C, L
 
 
 def words_to_bytes(words: jax.Array) -> jax.Array:
@@ -295,8 +264,8 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int):
         extract_codes(left, parent)
     )
     total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
-    C, L, ends, _ = jax.lax.optimization_barrier(
+    C, L = jax.lax.optimization_barrier(
         symbol_layout(blocks, codes, lens, n_valid)
     )
-    words = pack_words(C, L, ends, W)
+    words = pack_tree.pack_words(C, L, W)
     return words_to_bytes(words), total_bits, left, right, root, overflow

@@ -1,0 +1,74 @@
+"""Small-table gathers as MXU one-hot contractions.
+
+XLA lowers arbitrary per-lane gathers on TPU to ~85 M lookups/s (measured on
+v5e) — a scalar loop in disguise.  For the codec's lookups the tables are
+tiny and per-block (symbol->code: 256 entries; decode LUT: 4096 entries), so
+every lookup can instead be a one-hot matmul riding the MXU at ~5.7 G
+lookups/s (measured, 67x):
+
+    out[b, n] = sum_t onehot(idx[b,n] == t) * table[b, t]
+
+decomposed two-level (t = hi * T2 + lo) so the one-hot stays narrow:
+a (N, T2) x (T2, T1*K) batched contraction followed by a masked reduction
+over the T1 axis.  Exactness: tables are split into 8-bit pieces — exact in
+bfloat16 — and each f32 accumulation sums exactly one non-zero product.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def split_bytes(table: jax.Array, n_pieces: int) -> jax.Array:
+    """(B, T) u32 -> (B, T, n_pieces) low-to-high byte pieces."""
+    t = table.astype(jnp.uint32)
+    return jnp.stack(
+        [(t >> (8 * k)) & 0xFF for k in range(n_pieces)], axis=-1
+    ).astype(jnp.uint8)
+
+
+def gather_bytes(pieces: jax.Array, idx: jax.Array, T2: int = 16) -> jax.Array:
+    """Batched small-table lookup of byte pieces via one-hot MXU matmuls.
+
+    pieces: (B, T, K) u8 per-block tables (T = T1 * T2, both <= 64 advised);
+    idx:    (B, N) integer indices in [0, T).
+    Returns (B, N, K) int32 — pieces[b, idx[b, n], :].
+    """
+    B, T, K = pieces.shape
+    assert T % T2 == 0, (T, T2)
+    T1 = T // T2
+    idx = idx.astype(jnp.int32)
+    lo = idx % T2
+    hi = idx // T2
+
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T2), 2)
+    oh_lo = (lo[:, :, None] == lo_iota).astype(jnp.bfloat16)  # (B, N, T2)
+    # (B, T2, T1 * K) bf16 table, exact for byte pieces.
+    tperm = (
+        pieces.reshape(B, T1, T2, K)
+        .swapaxes(1, 2)
+        .reshape(B, T2, T1 * K)
+        .astype(jnp.bfloat16)
+    )
+    part = jax.lax.dot_general(
+        oh_lo, tperm,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, N, T1 * K)
+    N = idx.shape[1]
+    part = part.reshape(B, N, T1, K)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T1, 1), 2)
+    out = jnp.sum(jnp.where(hi[:, :, None, None] == hi_iota, part, 0.0), axis=2)
+    return out.astype(jnp.int32)
+
+
+def gather_u32(table: jax.Array, idx: jax.Array, n_bytes: int = 4,
+               T2: int = 16) -> jax.Array:
+    """Batched (B, T) u32-table lookup at (B, N) indices -> (B, N) u32."""
+    pieces = split_bytes(table, n_bytes)
+    b = gather_bytes(pieces, idx, T2=T2).astype(jnp.uint32)
+    out = b[..., 0]
+    for k in range(1, n_bytes):
+        out = out | (b[..., k] << (8 * k))
+    return out

@@ -1,0 +1,133 @@
+"""Gather-free bit packing: variable-length bitstring concatenation as a
+balanced merge tree of barrel shifts.
+
+The packing problem — lay N codewords of 1..32 bits end to end — is a
+reduction with the *bitstring concatenation* monoid.  The previous packer
+(ops/device.pack_words) let every output word gather its overlapping codes;
+on TPU, XLA lowers arbitrary per-lane gathers to ~85 M/s scalar loops
+(measured on v5e), which made packing 1000x slower than everything else
+combined.  This implementation uses no gathers at all:
+
+  level 0   each symbol is a 1-word string: code left-aligned (MSB-first),
+  level k   pairs of 2^k-word strings merge into 2^(k+1)-word strings:
+            out = a | (b >> len_a), where ">> len_a" is
+              * a word-granular barrel shift (one static pad-and-slide
+                select per bit of len_a/32), then
+              * one elementwise bit shift by len_a % 32 blended with the
+                neighbouring word.
+
+Everything is dense elementwise u32 arithmetic over regular layouts — VPU
+speed (7 G elem/s measured), compiler-fusible, and exact for any code
+lengths: capacity 2^k words per string is the true worst case (32
+bits/symbol), so there is no overflow path at all.
+
+Layout: strings live along the *lane* (minor) axis while they are numerous
+— (B, cap, P) — and transpose once to (B, P, cap) when P drops to a lane's
+width, keeping the vector units full at every level.
+
+Replaces the sequential 1-byte bit accumulator of the reference
+(reference: src/bufio.c:16-32 via src/encoder.c:85-131).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Transpose from (B, cap, P) to (B, P, cap) once P (the minor axis) reaches
+# this; 128 = one lane row.
+_SWAP_AT = 128
+
+
+def _word_shift(b: jax.Array, s_words: jax.Array, axis: int) -> jax.Array:
+    """Shift string words toward higher indices by a per-string word count
+    in [0, cap]; vacated words fill with zero.  Barrel construction: one
+    static pad-and-slide select per shift bit."""
+    cap = b.shape[axis]
+    n_bits = max(1, cap.bit_length())
+    for j in range(n_bits):
+        step = 1 << j
+        bit_on = (s_words >> j) & 1 == 1
+        if step >= cap:
+            b = jnp.where(bit_on, jnp.zeros_like(b), b)
+            continue
+        pad = [(0, 0)] * b.ndim
+        pad[axis] = (step, 0)
+        shifted = jax.lax.slice_in_dim(jnp.pad(b, pad), 0, cap, axis=axis)
+        b = jnp.where(bit_on, shifted, b)
+    return b
+
+
+def _bit_shift(b: jax.Array, r: jax.Array, axis: int) -> jax.Array:
+    """Shift string bits toward higher offsets by r in [0, 32)."""
+    cap = b.shape[axis]
+    pad = [(0, 0)] * b.ndim
+    pad[axis] = (1, 0)
+    prev = jax.lax.slice_in_dim(jnp.pad(b, pad), 0, cap, axis=axis)
+    r = r.astype(jnp.uint32)
+    return jnp.where(r == 0, b, (b >> r) | (prev << (jnp.uint32(32) - r)))
+
+
+def _merge(strings, lens, axis: int):
+    """One merge level: concatenate string pairs along ``axis`` (the word
+    axis); the pair index is the other non-batch axis."""
+    pair_axis = 3 - axis  # 1 <-> 2
+    a = jax.lax.slice_in_dim(strings, 0, None, 2, axis=pair_axis)
+    b = jax.lax.slice_in_dim(strings, 1, None, 2, axis=pair_axis)
+    la = lens[:, 0::2]
+    lb = lens[:, 1::2]
+    shape = [la.shape[0], 1, 1]
+    shape[pair_axis] = la.shape[1]
+    la_b = la.reshape(shape)
+    zeros = jnp.zeros_like(b)
+    a = jnp.concatenate([a, zeros], axis=axis)
+    b = jnp.concatenate([b, zeros], axis=axis)
+    b = _word_shift(b, la_b >> 5, axis)
+    b = _bit_shift(b, la_b & 31, axis)
+    return a | b, la + lb
+
+
+def concat_bitstrings(strings: jax.Array, lens: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Concatenate P variable-length bitstrings per block.
+
+    strings: (B, cap0, P) u32 — string p of block b is strings[b, :, p],
+             MSB-first, bit 0 = MSB of word 0; bits past ``lens`` are zero.
+    lens:    (B, P) i32 bit lengths (0 = empty string).  P a power of two.
+
+    Returns (words, total_bits): (B, cap0 * P) u32 and (B,) i32.
+    """
+    B, cap, P = strings.shape
+    assert P & (P - 1) == 0, P
+    axis = 1
+    while P > 1:
+        if axis == 1 and P <= _SWAP_AT:
+            strings = strings.swapaxes(1, 2)  # (B, P, cap)
+            axis = 2
+        strings, lens = _merge(strings, lens, axis)
+        cap *= 2
+        P //= 2
+    if axis == 1:
+        strings = strings.swapaxes(1, 2)
+    return strings.reshape(B, cap), lens[:, 0]
+
+
+def pack_words(C: jax.Array, L: jax.Array, W: int) -> jax.Array:
+    """Pack per-position codewords into (B, W) big-endian u32 words.
+
+    C: (B, N) u32 MSB-first codeword values; L: (B, N) bit lengths
+    (0 = padding position).  Output entries beyond the payload are zero;
+    W >= N always suffices (codes are <= 32 bits).
+    """
+    B, N = C.shape
+    P = 1
+    while P < N:
+        P *= 2
+    if P != N:
+        C = jnp.pad(C, ((0, 0), (0, P - N)))
+        L = jnp.pad(L, ((0, 0), (0, P - N)))
+    ln = L.astype(jnp.uint32)
+    level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31), jnp.uint32(0))
+    words, _ = concat_bitstrings(level0[:, None, :], L.astype(jnp.int32))
+    if words.shape[1] < W:
+        words = jnp.pad(words, ((0, 0), (0, W - words.shape[1])))
+    return words[:, :W]
