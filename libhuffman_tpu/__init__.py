@@ -36,6 +36,10 @@ from .api import (
 # libhuffman_tpu.decode.decode(stream); the bz2-style API above is the
 # public surface.
 from . import encode, decode  # noqa: F401
+# Auxiliary subsystems (SURVEY.md §5): block-aligned checkpoint/resume and
+# tracing/profiling hooks.
+from . import resume  # noqa: F401
+from .utils import trace  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -35,6 +35,7 @@ from .format import (
 from . import native
 from .ops import hostref
 from .ops import decode_device as ddec
+from .utils.trace import annotate
 
 # Device batch sizing: total bit positions per dispatch.
 _POSITION_BUDGET = 1 << 23  # 8M positions ~ up to ~1 MiB of payload per batch
@@ -180,10 +181,11 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             | (wview[:, :, 2] << 8) | wview[:, :, 3]
         )
         A = _bucket(-(-max_sym // ddec.SEG), 1)
-        out, end_bit, corrupt, bad_bit, unresolved = ddec.decode_blocks(
-            jnp.asarray(w32), jnp.asarray(trees), jnp.asarray(n_sym), NP, A,
-        )
-        out_h = np.asarray(out)
+        with annotate("huff.decode.device"):
+            out, end_bit, corrupt, bad_bit, unresolved = ddec.decode_blocks(
+                jnp.asarray(w32), jnp.asarray(trees), jnp.asarray(n_sym), NP, A,
+            )
+            out_h = np.asarray(out)
         end_h = np.asarray(end_bit)
         cor_h = np.asarray(corrupt)
         bad_h = np.asarray(bad_bit)
@@ -219,7 +221,8 @@ def _chain(data: bytes, length: int, use_device: bool):
     buf = np.frombuffer(data, dtype=np.uint8)
     cand_map: dict[int, _Candidate] = {}
     if use_device and length > 0:
-        offs = find_candidate_headers(buf[:length])
+        with annotate("huff.decode.scan"):
+            offs = find_candidate_headers(buf[:length])
         # Pathological candidate explosion (crafted input): stay sequential.
         if len(offs) <= max(64, length // 64):
             mv = memoryview(data)

@@ -23,6 +23,7 @@ from .format import ArrayTree, DEFAULT_BLOCK_SIZE, pack_block, serialize_tree
 from . import native
 from .ops import device as dev
 from .ops import hostref
+from .utils.trace import annotate
 
 # Blocks per device batch.  64 KiB x 256 = 16 MiB of input per dispatch.
 DEFAULT_BATCH_BLOCKS = 256
@@ -41,38 +42,43 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
     import jax.numpy as jnp
 
     N = batch.shape[1]
-    payload, total_bits, left, right, root, overflow = dev.encode_blocks(
-        jnp.asarray(batch), jnp.asarray(n_valid), N
-    )
-    total_bits_h = np.asarray(total_bits)
+    with annotate("huff.encode.device"):
+        payload, total_bits, left, right, root, overflow = dev.encode_blocks(
+            jnp.asarray(batch), jnp.asarray(n_valid), N
+        )
+        total_bits_h = np.asarray(total_bits)
     overflow_h = np.asarray(overflow)
     # Transfer only a bucketed prefix of the padded payload buffer: rows are
     # ragged and the device->host link is the bottleneck (the worst-case
     # buffer is 4N bytes/row but typical payloads are ~0.6N).
-    maxb = _bucket(max(1, (int(total_bits_h.max()) + 7) // 8), 1024)
-    payload_h = np.asarray(payload[:, : min(maxb, 4 * N)])
-    left_h = np.asarray(left)
-    right_h = np.asarray(right)
-    root_h = np.asarray(root)
+    with annotate("huff.encode.d2h"):
+        maxb = _bucket(max(1, (int(total_bits_h.max()) + 7) // 8), 1024)
+        payload_h = np.asarray(payload[:, : min(maxb, 4 * N)])
+        left_h = np.asarray(left)
+        right_h = np.asarray(right)
+        root_h = np.asarray(root)
 
     trees = lens_t = None
     if native.available():
         trees, lens_t = native.serialize_trees(left_h, right_h, root_h)
 
     out = []
-    for b in range(len(batch)):
-        nv = int(n_valid[b])
-        if nv == 0:
-            continue  # padding block
-        if overflow_h[b]:
-            out.append(hostref.encode_block(batch[b, :nv]))
-            continue
-        if trees is not None:
-            tree = trees[b, : lens_t[b]]
-        else:
-            tree = serialize_tree(ArrayTree(left_h[b], right_h[b], int(root_h[b])))
-        nbytes = (int(total_bits_h[b]) + 7) // 8
-        out.append(pack_block(nv, tree, payload_h[b, :nbytes].tobytes()))
+    with annotate("huff.encode.assemble"):
+        for b in range(len(batch)):
+            nv = int(n_valid[b])
+            if nv == 0:
+                continue  # padding block
+            if overflow_h[b]:
+                out.append(hostref.encode_block(batch[b, :nv]))
+                continue
+            if trees is not None:
+                tree = trees[b, : lens_t[b]]
+            else:
+                tree = serialize_tree(
+                    ArrayTree(left_h[b], right_h[b], int(root_h[b]))
+                )
+            nbytes = (int(total_bits_h[b]) + 7) // 8
+            out.append(pack_block(nv, tree, payload_h[b, :nbytes].tobytes()))
     return out
 
 
