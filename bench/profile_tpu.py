@@ -1,7 +1,7 @@
 """One-off profiling of the TPU encode/decode path (not part of the package)."""
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -39,32 +39,29 @@ B, N = 256, 65536
 rng = np.random.default_rng(0)
 blocks = jnp.asarray(rng.integers(97, 123, (B, N), np.uint8))
 n_valid = jnp.full((B,), N, jnp.int32)
+W = min(N, 24 * (N // 64))
 def run_enc():
-    r = devops.encode_blocks(blocks, n_valid, N)
+    r = devops.encode_blocks(blocks, n_valid, W, 24)
     jax.block_until_ready(r)
 sec = t("encode_blocks B=256 N=64KiB (16MB)", run_enc)
 print(f"    encode kernel {16/1024/sec:.2f} GB/s")
 
 # 3b. phases
-for name, fn in [
-    ("histogram", lambda: devops.histogram(blocks, n_valid)),
-    ("build_trees", None),
-]:
-    pass
 hist_j = jax.jit(devops.histogram)
 t("  histogram only", lambda: jax.block_until_ready(hist_j(blocks, n_valid)))
 freqs = hist_j(blocks, n_valid)
 trees_j = jax.jit(devops.build_trees)
 t("  build_trees only", lambda: jax.block_until_ready(trees_j(freqs)))
-left, right, parent, root = trees_j(freqs)
+left, right, parent, pbit, root = trees_j(freqs)
 codes_j = jax.jit(devops.extract_codes)
-t("  extract_codes only", lambda: jax.block_until_ready(codes_j(left, parent)))
-codes, lens, ovf = codes_j(left, parent)
+t("  extract_codes only", lambda: jax.block_until_ready(codes_j(parent, pbit)))
+codes, lens, ovf = codes_j(parent, pbit)
 layout_j = jax.jit(devops.symbol_layout)
 t("  symbol_layout only", lambda: jax.block_until_ready(layout_j(blocks, codes, lens, n_valid)))
-C, L, ends, tb = layout_j(blocks, codes, lens, n_valid)
-pack_j = jax.jit(lambda C, L, ends: devops.pack_words(C, L, ends, N))
-t("  pack_words only", lambda: jax.block_until_ready(pack_j(C, L, ends)))
+C, L = layout_j(blocks, codes, lens, n_valid)
+from libhuffman_tpu.ops import pack_tree
+pack_j = jax.jit(lambda C, L: pack_tree.pack_words_chunked(C, L, W, 24))
+t("  pack_words_chunked only", lambda: jax.block_until_ready(pack_j(C, L)))
 
 # 4. full encode() incl host assembly
 from libhuffman_tpu import encode as enc_mod

@@ -8,7 +8,7 @@ a sequential chain.  This decoder breaks the chain speculatively:
      high bytes, tree_length in range — true block starts always match,
      false positives are rare and merely waste speculative work).
   2. All candidates are decoded in parallel on the device
-     (ops/decode_device.py), each yielding its symbols, its consumed payload
+     (ops/decode_v2.py), each yielding its symbols, its consumed payload
      size, and error flags.
   3. The true chain is resolved on the host by following consumed sizes from
      offset 0; any gap (missed candidate, flagged block, adversarial stream)
@@ -34,12 +34,14 @@ from .format import (
 )
 from . import native
 from .ops import hostref
-from .ops import decode_device as ddec
+from .ops import decode_v2 as ddec
 from .utils.trace import annotate
 
-# Device batch sizing: total bit positions per dispatch.
-_POSITION_BUDGET = 1 << 23  # 8M positions ~ up to ~1 MiB of payload per batch
+# Device batch sizing: total bit positions per dispatch (~16 MiB payload).
+_POSITION_BUDGET = 1 << 27
 _NT = 1027  # tree node slots: up to 1025 preorder nodes + root pad + trap
+# Static max-code-length buckets (jit cache keys); > 32 falls back to host.
+_MAXL_BUCKETS = (12, 16, 20, 26, 32)
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -47,6 +49,24 @@ def _bucket(n: int, lo: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+_PAD_TREE_CACHE = None
+
+
+def _pad_tree() -> np.ndarray:
+    """(NT_PAD,) packed node row for padding blocks: every step traps, so
+    the LUT marks all windows corrupt and min code length stays 64 (no
+    spurious dense_ovf flags from padding lanes)."""
+    global _PAD_TREE_CACHE
+    if _PAD_TREE_CACHE is None:
+        trap = _NT - 1
+        _PAD_TREE_CACHE = np.full(
+            ddec.NT_PAD,
+            np.uint32(trap) | (np.uint32(trap) << 11) | (np.uint32(257) << 22),
+            np.uint32,
+        )
+    return _PAD_TREE_CACHE
 
 
 class _Candidate:
@@ -139,76 +159,117 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
                 c.error = BtreeCorruptedError
                 continue
             packed, depth = t
-        if depth > ddec.MAX_WALK:
-            c.fallback = True  # host-exact path (adversarial-only)
+        if depth > ddec.MAX_WALK or depth < 2:
+            # Deeper than the device ceiling, or a tree admitting 1-bit
+            # codes (single-symbol / crafted): host-exact path.
+            c.fallback = True
             continue
         # Sound payload upper bound: every code is <= depth bits, so this
         # block consumes at most ceil(n_sym*depth/8) payload bytes.  Sizing
         # buffers by this (not by the remaining stream) keeps batches
         # shape-homogeneous and avoids decoding into other blocks' bytes.
         cap = min(c.avail, (c.n_sym * depth + 7) // 8)
-        eligible.append((c, packed, cap))
+        if cap > (1 << 18):
+            # Oversized single blocks can't amortize the 128-lane batch
+            # minimum of the chain kernel: host/native path.
+            c.fallback = True
+            continue
+        eligible.append((c, packed, cap, depth))
 
-    # Sort by payload size so batches stay shape-homogeneous.
-    eligible.sort(key=lambda e: e[2])
+    for plan in _build_plans(data, eligible):
+        with annotate("huff.decode.device"):
+            out, end_bit, corrupt, bad_bit, flags = _run_plan(plan)
+            out_h = np.asarray(out)
+        _apply_plan_results(
+            plan, out_h, np.asarray(end_bit), np.asarray(corrupt),
+            np.asarray(bad_bit), np.asarray(flags[0]), np.asarray(flags[1]),
+        )
+
+
+class _Plan:
+    __slots__ = ("w32", "trees", "n_sym", "NP", "OUTW", "maxl", "batch")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
+    """Shape-homogeneous device batches from eligible candidates."""
+    eligible = sorted(eligible, key=lambda e: e[2])
+    plans = []
     i = 0
     while i < len(eligible):
         # Greedy batch under the position budget.
-        P = _bucket(eligible[i][2] + 4, 64)  # +4: off-the-end detection
+        P = _bucket(eligible[i][2] + 8, 64)  # +8: off-the-end slack
         NP = 8 * P
         B = max(1, _POSITION_BUDGET // NP)
         batch = eligible[i : i + B]
-        while _bucket(batch[-1][2] + 4, 64) != P and len(batch) > 1:
+        while _bucket(batch[-1][2] + 8, 64) != P and len(batch) > 1:
             batch.pop()
         i += len(batch)
-        B = _bucket(len(batch), 1)
-        W = P // 4 + 1
+        B = _bucket(len(batch), 16)
+        W = NP // 32
         words = np.zeros((B, W * 4), np.uint8)
-        trees = np.zeros((B, _NT), np.uint32)
+        trees = np.tile(_pad_tree(), (B, 1))
         n_sym = np.ones(B, np.int32)
         max_sym = 1
-        for b, (c, packed, cap) in enumerate(batch):
+        maxl = _MAXL_BUCKETS[0]
+        for b, (c, packed, cap, depth) in enumerate(batch):
             seg = data[c.payload_off : c.payload_off + min(cap, P)]
             words[b, : len(seg)] = seg
-            trees[b] = packed
+            trees[b, :_NT] = packed
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
-        wview = (
-            words.reshape(B, W, 4).astype(np.uint32)
-        )
+            maxl = max(maxl, depth)
+        for m in _MAXL_BUCKETS:
+            if maxl <= m:
+                maxl = m
+                break
+        wview = words.reshape(B, W, 4).astype(np.uint32)
         w32 = (
             (wview[:, :, 0] << 24) | (wview[:, :, 1] << 16)
             | (wview[:, :, 2] << 8) | wview[:, :, 3]
         )
-        A = _bucket(-(-max_sym // ddec.SEG), 1)
-        with annotate("huff.decode.device"):
-            out, end_bit, corrupt, bad_bit, unresolved = ddec.decode_blocks(
-                jnp.asarray(w32), jnp.asarray(trees), jnp.asarray(n_sym), NP, A,
-            )
-            out_h = np.asarray(out)
-        end_h = np.asarray(end_bit)
-        cor_h = np.asarray(corrupt)
-        bad_h = np.asarray(bad_bit)
-        if int(unresolved) > 0:
-            # Escape-compaction overflow (adversarial windows): host path.
-            for c, *_ in batch:
-                c.fallback = True
+        OUTW = _bucket(max_sym, 512) // 4
+        plans.append(_Plan(w32=w32, trees=trees, n_sym=n_sym, NP=NP,
+                           OUTW=OUTW, maxl=maxl, batch=batch))
+    return plans
+
+
+def _run_plan(plan: _Plan):
+    import jax.numpy as jnp
+
+    return ddec.decode_blocks(
+        jnp.asarray(plan.w32), jnp.asarray(plan.trees),
+        jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.maxl,
+    )
+
+
+def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h, esc_ovf, dense_ovf):
+    if bool(esc_ovf):
+        # Escape-compaction overflow (adversarial windows): host path.
+        for c, *_ in plan.batch:
+            c.fallback = True
+        return
+    for b, (c, *_rest) in enumerate(plan.batch):
+        if dense_ovf[b]:
+            c.fallback = True  # 1-bit codes slipped past depth check
             continue
-        for b, (c, *_rest) in enumerate(batch):
-            if cor_h[b]:
-                # Read-then-step precedence (decoder.c:52-71): a failing bit
-                # beyond the available payload is a short read, not
-                # corruption of a byte that was never read.
-                if int(bad_h[b]) // 8 < c.avail:
-                    c.error = BtreeCorruptedError
-                else:
-                    c.error = ReadWriteError
-                continue
-            consumed = (int(end_h[b]) + 7) // 8
-            if consumed > c.avail:
+        if cor_h[b]:
+            # Read-then-step precedence (decoder.c:52-71): a failing bit
+            # beyond the available payload is a short read, not
+            # corruption of a byte that was never read.
+            if int(bad_h[b]) // 8 < c.avail:
+                c.error = BtreeCorruptedError
+            else:
                 c.error = ReadWriteError
-                continue
-            c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
+            continue
+        consumed = (int(end_h[b]) + 7) // 8
+        if consumed > c.avail:
+            c.error = ReadWriteError
+            continue
+        c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
 
 
 def _chain(data: bytes, length: int, use_device: bool):

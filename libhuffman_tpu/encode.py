@@ -42,9 +42,17 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
     import jax.numpy as jnp
 
     N = batch.shape[1]
+    # Packer capacity: 24 words per 64-symbol chunk covers every block whose
+    # mean code length <= 12 bits (text ~4.5, incompressible exactly 8);
+    # rarer blocks overflow the clamp and take the per-block host fallback.
+    capw = 24
+    P = 1
+    while P < N:
+        P *= 2
+    W = min(P, capw * max(P // 64, 1))
     with annotate("huff.encode.device"):
         payload, total_bits, left, right, root, overflow = dev.encode_blocks(
-            jnp.asarray(batch), jnp.asarray(n_valid), N
+            jnp.asarray(batch), jnp.asarray(n_valid), W, capw
         )
         total_bits_h = np.asarray(total_bits)
     overflow_h = np.asarray(overflow)
@@ -53,7 +61,7 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
     # buffer is 4N bytes/row but typical payloads are ~0.6N).
     with annotate("huff.encode.d2h"):
         maxb = _bucket(max(1, (int(total_bits_h.max()) + 7) // 8), 1024)
-        payload_h = np.asarray(payload[:, : min(maxb, 4 * N)])
+        payload_h = np.asarray(payload[:, : min(maxb, 4 * W)])
         left_h = np.asarray(left)
         right_h = np.asarray(right)
         root_h = np.asarray(root)

@@ -57,8 +57,6 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
     or a serializing scatter-add.
     """
     B, N = blocks.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    valid = (pos < n_valid[:, None]).astype(jnp.bfloat16)
     hi = (blocks >> 4).astype(jnp.int32)
     lo = (blocks & 15).astype(jnp.int32)
     nib = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
@@ -68,9 +66,9 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
     n_chunks = N // chunk
 
     def step(acc, xs):
-        hi_c, lo_c, valid_c = xs  # (B, chunk), ...
+        hi_c, lo_c = xs  # (B, chunk) each
         oh_hi = (hi_c[:, :, None] == nib).astype(jnp.bfloat16)
-        oh_lo = (lo_c[:, :, None] == nib).astype(jnp.bfloat16) * valid_c[:, :, None]
+        oh_lo = (lo_c[:, :, None] == nib).astype(jnp.bfloat16)
         # (B, 16, 16) <- contract over the chunk axis, batched over B.
         cnt = jax.lax.dot_general(
             oh_hi, oh_lo,
@@ -82,11 +80,15 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
     xs = (
         hi.reshape(B, n_chunks, chunk).swapaxes(0, 1),
         lo.reshape(B, n_chunks, chunk).swapaxes(0, 1),
-        valid.reshape(B, n_chunks, chunk).swapaxes(0, 1),
     )
     acc0 = jnp.zeros((B, 16, 16), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, xs)
     counts = acc.reshape(B, 256).astype(jnp.int32)
+    # Padding positions are zero bytes; counting them unmasked and
+    # subtracting the pad count from slot 0 is cheaper than a per-byte
+    # validity multiply inside the contraction.
+    pad = (N - n_valid).astype(jnp.int32)
+    counts = counts.at[:, 0].add(-pad)
     return jnp.concatenate(
         [counts, jnp.zeros((B, HISTOGRAM_LEN - ASCII_COUNT), jnp.int32)], axis=1
     )
@@ -107,14 +109,16 @@ def build_trees(freqs: jax.Array):
     a parent with only a left child (tree.c:410-413): the unary-root
     invariant that gives every codeword its leading 0 bit.
 
-    Returns (left, right, parent, root): (B,512) i32 x3 and (B,) i32
-    (root == -1 for all-zero histograms, i.e. padding blocks).
+    Returns (left, right, parent, pbit, root): (B,512) i32 x4 and (B,) i32
+    (root == -1 for all-zero histograms, i.e. padding blocks).  ``pbit`` is
+    each node's branch bit within its parent (0 = left child, 1 = right),
+    recorded during the merge so codeword extraction needs no second lookup.
     """
     B = freqs.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, HISTOGRAM_LEN), 1)
 
     def round_fn(i, st):
-        rates, left, right, parent, root, done = st
+        rates, left, right, parent, pbit, root, done = st
         node = ASCII_COUNT + i
         active = rates > 0
         cnt = jnp.sum(active, axis=1)
@@ -142,28 +146,32 @@ def build_trees(freqs: jax.Array):
         right = jax.lax.dynamic_update_index_in_dim(right, rcol, node, axis=1)
         parent = jnp.where(upd[:, None] & oh1, node, parent)
         parent = jnp.where(merge[:, None] & oh2, node, parent)
+        pbit = jnp.where(merge[:, None] & oh2, 1, pbit)  # oh1 stays 0
         root = jnp.where(wrap, node, root)
         done = done | wrap | (cnt == 0)
-        return rates, left, right, parent, root, done
+        return rates, left, right, parent, pbit, root, done
 
     neg = jnp.full((B, HISTOGRAM_LEN), -1, jnp.int32)
     st = (
         freqs.astype(jnp.int32),
         neg, neg,
         jnp.full((B, HISTOGRAM_LEN), -1, jnp.int32),
+        jnp.zeros((B, HISTOGRAM_LEN), jnp.int32),
         jnp.full((B,), -1, jnp.int32),
         jnp.zeros((B,), bool),
     )
-    _, left, right, parent, root, _ = jax.lax.fori_loop(0, ASCII_COUNT, round_fn, st)
-    return left, right, parent, root
+    _, left, right, parent, pbit, root, _ = jax.lax.fori_loop(
+        0, ASCII_COUNT, round_fn, st
+    )
+    return left, right, parent, pbit, root
 
 
 # --------------------------------------------------------------------------
 # Codeword extraction
 # --------------------------------------------------------------------------
 
-def extract_codes(left: jax.Array, parent: jax.Array):
-    """Per-symbol codewords from parent pointers.
+def extract_codes(parent: jax.Array, pbit: jax.Array):
+    """Per-symbol codewords from parent pointers + recorded branch bits.
 
     (B,512) trees -> codes (B,256) u32, lens (B,256) i32, overflow (B,) bool.
 
@@ -171,32 +179,32 @@ def extract_codes(left: jax.Array, parent: jax.Array):
     t-th collected bit at position t leaves the root-most bit highest, so
     ``codes`` holds the MSB-first codeword value directly (matches the
     reference's reversed string walk, src/tree.c:12-47 + encoder.c:106-108).
+    Each step is a single one-hot MXU lookup of a packed (parent+1, branch
+    bit) word — per-lane ``take_along_axis`` gathers lower to a ~0.1 G/s
+    scalar loop on TPU (measured, bench/probe_primitives.py), which made the
+    original gather walk ~60 ms/batch; the unrolled one-hot walk is ~2 ms.
     ``overflow`` flags blocks whose walk did not reach the root — those are
     re-encoded on the host fallback path (requires a multi-MB adversarial
     block; never hit on real data).
     """
-    B = left.shape[0]
+    B = parent.shape[0]
     sym = jax.lax.broadcasted_iota(jnp.int32, (B, ASCII_COUNT), 1)
+    # pp[n] = (parent[n] + 1) | pbit[n] << 10; parent -1 (root / absent) -> 0.
+    pp = ((parent + 1).astype(jnp.uint32) | (pbit.astype(jnp.uint32) << 10))
 
-    def step(t, st):
-        node, code, ln = st
-        p = jnp.take_along_axis(parent, node, axis=1)
-        has = p >= 0
-        p_safe = jnp.where(has, p, 0)
-        isleft = jnp.take_along_axis(left, p_safe, axis=1) == node
-        bit = jnp.where(isleft, jnp.uint32(0), jnp.uint32(1))
+    node = sym
+    code = jnp.zeros((B, ASCII_COUNT), jnp.uint32)
+    ln = jnp.zeros((B, ASCII_COUNT), jnp.int32)
+    for _ in range(MAX_CODE_BITS):
+        e = mxu_gather.gather_u32(pp, node, n_bytes=2)
+        p1 = (e & 0x3FF).astype(jnp.int32)
+        has = p1 > 0
+        bit = (e >> 10) & 1
         code = jnp.where(has, code | (bit << ln.astype(jnp.uint32)), code)
         ln = ln + has.astype(jnp.int32)
-        node = jnp.where(has, p, node)
-        return node, code, ln
-
-    st = (
-        sym,
-        jnp.zeros((B, ASCII_COUNT), jnp.uint32),
-        jnp.zeros((B, ASCII_COUNT), jnp.int32),
-    )
-    node, code, ln = jax.lax.fori_loop(0, MAX_CODE_BITS, step, st)
-    overflow = jnp.any(jnp.take_along_axis(parent, node, axis=1) >= 0, axis=1)
+        node = jnp.where(has, p1 - 1, node)
+    final = mxu_gather.gather_u32(pp, node, n_bytes=2)
+    overflow = jnp.any((final & 0x3FF) > 0, axis=1)
     return code, ln, overflow
 
 
@@ -247,25 +255,31 @@ def words_to_bytes(words: jax.Array) -> jax.Array:
 # uses the exact worst case W = N (codes are <= 32 bits = 32N bits = N
 # words), so no pre-sizing pass is needed.
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
+                  capw: int = 64):
     """Full batched encode: (B, N) u8 + valid lengths -> per-block payload
-    bytes, bit totals, array trees, and the deep-code overflow flag.
+    bytes, bit totals, array trees, and per-block fallback flags.
+
+    ``capw`` clamps the packer's inter-chunk string capacity (words per 64
+    input bytes); blocks that exceed it are flagged in ``overflow`` and the
+    driver re-encodes them with capw=64 (the true worst case).
 
     optimization_barrier between phases keeps XLA from rematerializing a
     producer (e.g. the histogram) inside a consumer loop's body.
     """
     freqs = histogram(blocks, n_valid)
     freqs = jax.lax.optimization_barrier(freqs)
-    left, right, parent, root = jax.lax.optimization_barrier(
+    left, right, parent, pbit, root = jax.lax.optimization_barrier(
         build_trees(freqs)
     )
     codes, lens, overflow = jax.lax.optimization_barrier(
-        extract_codes(left, parent)
+        extract_codes(parent, pbit)
     )
     total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
     C, L = jax.lax.optimization_barrier(
         symbol_layout(blocks, codes, lens, n_valid)
     )
-    words = pack_tree.pack_words(C, L, W)
-    return words_to_bytes(words), total_bits, left, right, root, overflow
+    words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
+    return (words_to_bytes(words), total_bits, left, right, root,
+            overflow | pack_ovf)

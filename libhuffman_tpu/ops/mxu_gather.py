@@ -34,16 +34,17 @@ def gather_bytes(pieces: jax.Array, idx: jax.Array, T2: int = 16) -> jax.Array:
     pieces: (B, T, K) u8 per-block tables (T = T1 * T2, both <= 64 advised);
     idx:    (B, N) integer indices in [0, T).
     Returns (B, N, K) int32 — pieces[b, idx[b, n], :].
+
+    The inner contraction materializes a (B, n, T1*K) f32 partial before the
+    masked reduction, so large lookups are sliced along N to bound that
+    buffer (~256 MB) — the positions-per-batch budget would otherwise
+    multiply into multi-GB temporaries.
     """
     B, T, K = pieces.shape
     assert T % T2 == 0, (T, T2)
     T1 = T // T2
+    N = idx.shape[1]
     idx = idx.astype(jnp.int32)
-    lo = idx % T2
-    hi = idx // T2
-
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T2), 2)
-    oh_lo = (lo[:, :, None] == lo_iota).astype(jnp.bfloat16)  # (B, N, T2)
     # (B, T2, T1 * K) bf16 table, exact for byte pieces.
     tperm = (
         pieces.reshape(B, T1, T2, K)
@@ -51,16 +52,36 @@ def gather_bytes(pieces: jax.Array, idx: jax.Array, T2: int = 16) -> jax.Array:
         .reshape(B, T2, T1 * K)
         .astype(jnp.bfloat16)
     )
-    part = jax.lax.dot_general(
-        oh_lo, tperm,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (B, N, T1 * K)
-    N = idx.shape[1]
-    part = part.reshape(B, N, T1, K)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T2), 2)
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T1, 1), 2)
-    out = jnp.sum(jnp.where(hi[:, :, None, None] == hi_iota, part, 0.0), axis=2)
-    return out.astype(jnp.int32)
+
+    def one(idx_s):
+        lo = idx_s % T2
+        hi = idx_s // T2
+        oh_lo = (lo[:, :, None] == lo_iota).astype(jnp.bfloat16)  # (B, n, T2)
+        part = jax.lax.dot_general(
+            oh_lo, tperm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, idx_s.shape[1], T1, K)
+        out = jnp.sum(
+            jnp.where(hi[:, :, None, None] == hi_iota, part, 0.0), axis=2
+        )
+        return out.astype(jnp.int32)
+
+    slab = max(1, (1 << 26) // max(B * T1 * K, 1))
+    if N <= slab:
+        return one(idx)
+    # Slice along N: the largest power-of-two slab that divides N (call
+    # sites use power-of-two N); odd-shaped N falls back to one shot.
+    s = 1
+    while s * 2 <= slab and N % (s * 2) == 0:
+        s *= 2
+    if s == 1:
+        return one(idx)
+    outs = [one(jax.lax.slice_in_dim(idx, i, i + s, axis=1))
+            for i in range(0, N, s)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def gather_u32(table: jax.Array, idx: jax.Array, n_bytes: int = 4,

@@ -55,6 +55,9 @@ def _word_shift(b: jax.Array, s_words: jax.Array, axis: int) -> jax.Array:
         pad[axis] = (step, 0)
         shifted = jax.lax.slice_in_dim(jnp.pad(b, pad), 0, cap, axis=axis)
         b = jnp.where(bit_on, shifted, b)
+    # Shifts past the capacity (possible when a caller clamps capacity
+    # between merge levels) push the whole string out of the buffer.
+    b = jnp.where(s_words >= cap, jnp.zeros_like(b), b)
     return b
 
 
@@ -87,14 +90,21 @@ def _merge(strings, lens, axis: int):
     return a | b, la + lb
 
 
-def concat_bitstrings(strings: jax.Array, lens: jax.Array) -> tuple[jax.Array, jax.Array]:
+def concat_bitstrings(strings: jax.Array, lens: jax.Array,
+                      max_cap: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Concatenate P variable-length bitstrings per block.
 
     strings: (B, cap0, P) u32 — string p of block b is strings[b, :, p],
              MSB-first, bit 0 = MSB of word 0; bits past ``lens`` are zero.
     lens:    (B, P) i32 bit lengths (0 = empty string).  P a power of two.
 
-    Returns (words, total_bits): (B, cap0 * P) u32 and (B,) i32.
+    ``max_cap`` clamps string capacity (words) between levels: content past
+    ``max_cap`` words is dropped.  Sound whenever only the first ``max_cap``
+    words of the result are consumed — a string's word k lands at word
+    >= k of the result, so truncated words could never reach the kept span.
+
+    Returns (words, total_bits): (B, min(cap0 * P, clamp)) u32 and (B,) i32
+    (total_bits counts all input bits, including any truncated by the clamp).
     """
     B, cap, P = strings.shape
     assert P & (P - 1) == 0, P
@@ -106,9 +116,58 @@ def concat_bitstrings(strings: jax.Array, lens: jax.Array) -> tuple[jax.Array, j
         strings, lens = _merge(strings, lens, axis)
         cap *= 2
         P //= 2
+        if max_cap is not None and cap > max_cap:
+            strings = jax.lax.slice_in_dim(strings, 0, max_cap, axis=axis)
+            cap = max_cap
     if axis == 1:
         strings = strings.swapaxes(1, 2)
     return strings.reshape(B, cap), lens[:, 0]
+
+
+def pack_words_chunked(C: jax.Array, L: jax.Array, W: int, capw: int
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Two-phase packer: 64-symbol chunks concatenate locally, then chunk
+    strings (capacity-clamped to ``capw`` words) concatenate globally.
+
+    The naive merge tree carries the 32-bits-per-symbol worst case through
+    every level; real chunks hold far fewer bits (~4-6 bits/symbol for text,
+    exactly 8 for incompressible data), so clamping the inter-chunk capacity
+    to ``capw`` words (bucketed by the driver) cuts the dominant upper-level
+    work ~5x.  Chunks whose true bit length exceeds ``capw * 32`` are
+    reported via the returned ``overflow`` flag — the driver re-runs those
+    batches with the worst-case capacity (capw=64), so clamping never costs
+    correctness.
+
+    Returns (words (B, W) u32, overflow (B,) bool).
+    """
+    B, N = C.shape
+    G = 64
+    P = 1
+    while P < N:
+        P *= 2
+    if P < 8 * G:  # small blocks: single-phase packer, no overflow possible
+        return pack_words(C, L, W), jnp.zeros((B,), bool)
+    if P != N:
+        C = jnp.pad(C, ((0, 0), (0, P - N)))
+        L = jnp.pad(L, ((0, 0), (0, P - N)))
+    NG = P // G
+    ln = L.astype(jnp.uint32)
+    level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31), jnp.uint32(0))
+    # Phase 1: local concat inside every 64-symbol chunk.
+    local, chunk_bits = concat_bitstrings(
+        level0.reshape(B * NG, G)[:, None, :],
+        L.reshape(B * NG, G).astype(jnp.int32),
+    )  # (B*NG, G) words, (B*NG,) bits
+    overflow = jnp.any(
+        chunk_bits.reshape(B, NG) > capw * 32, axis=1
+    )
+    clipped = local[:, :capw].reshape(B, NG, capw).swapaxes(1, 2)  # (B,capw,NG)
+    words, _total = concat_bitstrings(
+        clipped, chunk_bits.reshape(B, NG).astype(jnp.int32)
+    )
+    if words.shape[1] < W:
+        words = jnp.pad(words, ((0, 0), (0, W - words.shape[1])))
+    return words[:, :W], overflow
 
 
 def pack_words(C: jax.Array, L: jax.Array, W: int) -> jax.Array:

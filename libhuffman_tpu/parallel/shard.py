@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format import ASCII_COUNT
 from ..ops import device as dev
-from ..ops import decode_device as ddec
+from ..ops import decode_v2 as ddec
 
 
 def block_mesh(devices=None) -> Mesh:
@@ -72,22 +72,38 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     return tuple(np.asarray(r) for r in res)
 
 
-def decode_blocks_sharded(payload_words, tree, n_sym, NP: int, A: int,
-                          mesh: Mesh):
-    """Sharded batch decode: same kernel as ops/decode_device.decode_blocks
-    partitioned over the block axis (``tree`` is the packed node table)."""
-    spec = NamedSharding(mesh, P("blocks", None))
-    vspec = NamedSharding(mesh, P("blocks"))
-    rep = NamedSharding(mesh, P())
+def decode_blocks_sharded(payload_words, tree, n_sym, NP: int, OUTW: int,
+                          MAXL: int, mesh: Mesh):
+    """Sharded batch decode: the v2 kernel (ops/decode_v2.decode_blocks) run
+    per shard under shard_map over the block axis (``tree`` is the packed
+    node table).  The only collective is the OR of the per-shard escape
+    overflow flags."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = P("blocks", None)
+    vspec = P("blocks")
+    dspec = NamedSharding(mesh, spec)
+    dvspec = NamedSharding(mesh, vspec)
+
+    def per_shard(w, t, n):
+        out, end_bit, corrupt, bad_bit, (esc, dense) = (
+            ddec.decode_blocks.__wrapped__(w, t, n, NP, OUTW, MAXL)
+        )
+        esc_all = jax.lax.psum(esc.astype(jnp.int32), "blocks") > 0
+        return out, end_bit, corrupt, bad_bit, esc_all, dense
+
     fn = jax.jit(
-        functools.partial(ddec.decode_blocks.__wrapped__, NP=NP, A=A),
-        in_shardings=(spec, spec, vspec),
-        out_shardings=(spec, vspec, vspec, vspec, rep),
+        shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(spec, spec, vspec),
+            out_specs=(spec, vspec, vspec, vspec, P(), vspec),
+            check_rep=False,  # pallas_call out_shapes carry no replication info
+        )
     )
     res = fn(
-        jax.device_put(jnp.asarray(payload_words), spec),
-        jax.device_put(jnp.asarray(tree), spec),
-        jax.device_put(jnp.asarray(n_sym), vspec),
+        jax.device_put(jnp.asarray(payload_words), dspec),
+        jax.device_put(jnp.asarray(tree), dspec),
+        jax.device_put(jnp.asarray(n_sym), dvspec),
     )
     return tuple(np.asarray(r) for r in res)
 

@@ -86,3 +86,55 @@ def test_decode_matches_reference_on_trailing_block():
     e1 = ref_compress(b"hello world", 0)
     e2 = ref_compress(b"goodbye", 0)
     assert dec_mod.decode(e1 + e2) == b"hello worldgoodbye"
+
+
+# --- decode_v2 kernel internals -------------------------------------------
+
+def test_chain_starts_matches_numpy_reference():
+    """The Pallas is_start recurrence against a direct sequential walk."""
+    import jax.numpy as jnp
+    from libhuffman_tpu.ops import decode_v2 as ddec
+
+    rng = np.random.default_rng(7)
+    NP, B, MAXL = 1024, 3, 12
+    lens = rng.integers(2, MAXL + 1, (B, NP)).astype(np.uint8)
+    lens[0, 5] = 0  # a dead position: the chain must stop if it lands here
+
+    got_w = np.asarray(ddec.chain_starts(jnp.asarray(lens.T), MAXL))
+    got = np.zeros((B, NP), bool)
+    for wi in range(NP // 32):
+        for t in range(32):
+            got[:, 32 * wi + t] = (got_w[wi] >> t) & 1
+
+    for b in range(B):
+        expect = np.zeros(NP, bool)
+        p = 0
+        while p < NP:
+            expect[p] = True
+            if lens[b, p] == 0:
+                break
+            p += int(lens[b, p])
+        assert np.array_equal(got[b], expect), b
+
+
+def test_emission_packs_starts_in_order():
+    import jax.numpy as jnp
+    from libhuffman_tpu.ops import decode_v2 as ddec
+
+    rng = np.random.default_rng(8)
+    B, NP, OUTW = 2, 512, 64
+    start = rng.random((B, NP)) < 0.2
+    # enforce the min-code-length-2 invariant the prepack relies on
+    for b in range(B):
+        last = -2
+        for p in range(NP):
+            if start[b, p] and p - last < 2:
+                start[b, p] = False
+            elif start[b, p]:
+                last = p
+    sym = rng.integers(0, 256, (B, NP)).astype(np.uint8)
+    out, cnt = ddec._emit(jnp.asarray(start), jnp.asarray(sym), OUTW)
+    out = np.asarray(out)
+    for b in range(B):
+        expect = sym[b][start[b]]
+        assert np.array_equal(out[b, : len(expect)], expect[: 4 * OUTW]), b
