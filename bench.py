@@ -248,6 +248,7 @@ def main():
             "wire_exact_vs_oracle": wire_exact,
             "decode_device_out_bytes": dec_dev_bytes,
             "ratio": round(len(enc) / n, 4),
+            "decode_jit_keys": len(dec_mod.compile_keys()),
             "device": str(jax.devices()[0]),
             "note": "host<->device link here is a ~0.04 GB/s network tunnel"
                     " (PERF.md); e2e_* include it, device numbers do not",

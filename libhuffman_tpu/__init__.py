@@ -7,10 +7,11 @@ preorder tree headers, and MSB-first bitstreams — bit-for-bit compatible with
 ``huf_encode``/``huf_decode`` — plus a ``huffmanfile``-compatible Python API.
 
 Encode runs as batched device kernels (vmapped histogram -> fixed-trip
-two-argmin tree build -> code extraction -> prefix-sum bit packing); decode as
-a table-driven branch-free bit walker with pointer-jumping across code
-boundaries.  Blocks are fully independent (the format's latent parallelism
-axis) and shard data-parallel over a ``jax.sharding.Mesh``.
+two-argmin tree build -> one-hot code extraction -> merge-tree bit packing);
+decode resolves every bit position with one-hot LUT lookups and recovers the
+codeword chain with a linear boolean recurrence in a Pallas kernel (see
+ops/decode_v2.py).  Blocks are fully independent (the format's latent
+parallelism axis) and shard data-parallel over a ``jax.sharding.Mesh``.
 """
 
 from .errors import (
@@ -22,7 +23,14 @@ from .errors import (
     BtreeCorruptedError,
     error_string,
 )
-from .format import DEFAULT_BLOCK_SIZE, DEFAULT_MEM_LIMIT
+from .format import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_MEM_LIMIT,
+    describe_tree,
+    node_to_string,
+)
+from .config import DecodeConfig, EncodeConfig
+from .histogram import Histogram
 from .api import (
     HuffmanFile,
     HuffmanCompressor,
@@ -59,5 +67,10 @@ __all__ = [
     "open",
     "DEFAULT_BLOCK_SIZE",
     "DEFAULT_MEM_LIMIT",
+    "EncodeConfig",
+    "DecodeConfig",
+    "Histogram",
+    "describe_tree",
+    "node_to_string",
     "__version__",
 ]

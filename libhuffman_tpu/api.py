@@ -39,18 +39,16 @@ __all__ = [
     "decompress",
 ]
 
-_MODE_CLOSED = 0
-_MODE_READ = 1
-_MODE_WRITE = 2
-
 
 class HuffmanCompressor:
     """Incremental compressor.
 
-    Buffers input and encodes only whole multiples of ``blocksize`` per
-    ``compress()`` call — each call is an independent encode run emitting
-    self-contained blocks, exactly the reference's buffering arithmetic
-    (huffmanfile.py:294-342); ``flush()`` encodes the remainder.
+    Buffers input (through the L0 ``MemStream``, the membuf analogue the
+    reference routes all codec bytes through) and encodes only whole
+    multiples of ``blocksize`` per ``compress()`` call — each call is an
+    independent encode run emitting self-contained blocks, exactly the
+    reference's buffering arithmetic (huffmanfile.py:294-342); ``flush()``
+    encodes the remainder.
     """
 
     def __init__(self, blocksize: int = DEFAULT_BLOCK_SIZE):
@@ -58,20 +56,21 @@ class HuffmanCompressor:
             raise ValueError("blocksize must be positive")
         self._blocksize = blocksize
         self._flushed = False
-        self._buf = bytearray()
+        self._stream = MemStream()
 
     def compress(self, data) -> bytes:
         """Provide data; returns compressed whole blocks when available."""
         if self._flushed:
             raise ValueError("Compressor has been flushed")
-        self._buf += bytes(data)
-        num_blocks = len(self._buf) // self._blocksize
+        self._stream.write(bytes(data))
+        num_blocks = len(self._stream) // self._blocksize
         if num_blocks == 0:
             return b""
-        num_bytes = num_blocks * self._blocksize
-        out = _encode_mod.encode(bytes(self._buf[:num_bytes]), self._blocksize)
-        del self._buf[:num_bytes]
-        return out
+        head = self._stream.read(num_blocks * self._blocksize)
+        carry = self._stream.read(len(self._stream))
+        self._stream = MemStream()  # drop consumed backing storage
+        self._stream.write(carry)
+        return _encode_mod.encode(head, self._blocksize)
 
     def flush(self) -> bytes:
         """Encode any buffered remainder and finish; the compressor may not
@@ -80,11 +79,11 @@ class HuffmanCompressor:
         if self._flushed:
             return b""
         self._flushed = True
-        if not self._buf:
+        tail = self._stream.read(len(self._stream))
+        self._stream.close()
+        if not tail:
             return b""
-        out = _encode_mod.encode(bytes(self._buf), self._blocksize)
-        self._buf.clear()
-        return out
+        return _encode_mod.encode(tail, self._blocksize)
 
 
 class HuffmanDecompressor:
@@ -97,23 +96,32 @@ class HuffmanDecompressor:
     """
 
     def __init__(self, memlimit: int = DEFAULT_MEM_LIMIT):
+        # ``memlimit`` mirrors huf_config_t's reader/writer buffer sizing
+        # (reference huffmanfile.py:375-376): it is a buffering *hint*, not
+        # an enforced cap — the reference grows its membuf past it rather
+        # than erroring, so there is no limit-exceeded condition to raise
+        # (PARITY.md "memlimit").  Kept as the initial stream capacity.
         self._memlimit = memlimit
-        self._buf = bytearray()
+        self._stream = MemStream(capacity=max(int(memlimit), 0))
         self._closed = False
         self._need = 1  # bytes the buffer must reach before the next attempt
 
     def decompress(self, data) -> bytes:
         if self._closed:
             raise ValueError("Decompressor has been closed")
-        self._buf += bytes(data)
+        self._stream.write(bytes(data))
         # Skip attempts that cannot possibly complete a block: every symbol
         # consumes >= 1 bit, so the bound below is exact-never-late (a
         # completable buffer is always attempted) while turning byte-drip
         # feeding from O(n^2) re-decodes into O(code_len) attempts per block.
-        if len(self._buf) < self._need:
+        if len(self._stream) < self._need:
             return b""
-        out, consumed = _decode_mod.decode_prefix(bytes(self._buf))
-        del self._buf[:consumed]
+        pending = self._stream.getvalue()[-len(self._stream):] if len(self._stream) else b""
+        out, consumed = _decode_mod.decode_prefix(pending)
+        self._stream.read(consumed)
+        carry = self._stream.read(len(self._stream))
+        self._stream = MemStream(capacity=max(int(self._memlimit), 0))
+        self._stream.write(carry)
         self._need = self._tail_need()
         return out
 
@@ -122,7 +130,7 @@ class HuffmanDecompressor:
         from .errors import ReadWriteError
         from .ops import hostref
 
-        buf = bytes(self._buf)
+        buf = self._stream.getvalue()[-len(self._stream):] if len(self._stream) else b""
         if len(buf) < BLOCK_HEADER.size:
             return BLOCK_HEADER.size
         try:
@@ -155,150 +163,137 @@ class HuffmanDecompressor:
 
     @property
     def needs_input(self) -> bool:
-        return len(self._buf) > 0
+        return len(self._stream) > 0
 
     def close(self):
         """Release resources (reference parity, huffmanfile.py:402-406)."""
         self._closed = True
-        self._buf.clear()
+        self._stream.close()
+
+
+# HuffmanFile mode table: accepted spelling -> (raw-file mode, side).
+_FILE_MODES = {
+    "": ("rb", "r"), "r": ("rb", "r"), "rb": ("rb", "r"),
+    "w": ("wb", "w"), "wb": ("wb", "w"),
+    "x": ("xb", "w"), "xb": ("xb", "w"),
+    "a": ("ab", "w"), "ab": ("ab", "w"),
+}
 
 
 class HuffmanFile(io.BufferedIOBase):
     """A file object providing transparent Huffman (de)compression.
 
-    Mirrors the reference class (huffmanfile.py:45-181): binary interface,
-    modes r/w/x/a, path or file-object, not seekable; ``read(size)`` sizes
-    the *compressed* read from the underlying file; ``write`` returns the
-    uncompressed length.
+    Behavior-compatible with the reference class (huffmanfile.py:45-181;
+    re-derived, not transcribed): binary interface, modes r/w/x/a, path or
+    file-object, not seekable; ``read(size)`` sizes the *compressed* read
+    from the underlying file; ``write`` returns the uncompressed length.
     """
 
     def __init__(self, filename, mode="w", blocksize=DEFAULT_BLOCK_SIZE,
                  memlimit=DEFAULT_MEM_LIMIT):
-        self._fp = None
-        self._mode = _MODE_CLOSED
-        self._closefp = False
+        self._raw = None
+        self._owns_raw = False
+        self._side = None  # "r" | "w" | None == closed
+        self._codec = None
 
-        if mode in ("", "r", "rb"):
-            mode = "rb"
-            mode_code = _MODE_READ
-            self._decompressor = HuffmanDecompressor(memlimit)
-        elif mode in ("w", "wb"):
-            mode = "wb"
-            mode_code = _MODE_WRITE
-            self._compressor = HuffmanCompressor(blocksize)
-        elif mode in ("x", "xb"):
-            mode = "xb"
-            mode_code = _MODE_WRITE
-            self._compressor = HuffmanCompressor(blocksize)
-        elif mode in ("a", "ab"):
-            mode = "ab"
-            mode_code = _MODE_WRITE
-            self._compressor = HuffmanCompressor(blocksize)
-        else:
-            raise ValueError("Invalid mode: %r" % (mode,))
+        try:
+            raw_mode, side = _FILE_MODES[mode]
+        except KeyError:
+            raise ValueError("Invalid mode: %r" % (mode,)) from None
+        codec = (HuffmanDecompressor(memlimit) if side == "r"
+                 else HuffmanCompressor(blocksize))
 
         if isinstance(filename, (str, bytes, os.PathLike)):
-            self._fp = builtin_open(filename, mode)
-            self._closefp = True
-            self._mode = mode_code
+            self._raw = builtin_open(filename, raw_mode)
+            self._owns_raw = True
         elif hasattr(filename, "read") or hasattr(filename, "write"):
-            self._fp = filename
-            self._mode = mode_code
+            self._raw = filename
         else:
-            raise TypeError("filename must be a str, bytes, file or PathLike object")
+            raise TypeError(
+                "filename must be a str, bytes, file or PathLike object"
+            )
+        self._side = side
+        self._codec = codec
 
     def close(self):
-        if self._mode == _MODE_CLOSED:
+        """Flush and close; idempotent.  Later operations raise ValueError."""
+        if self._side is None:
             return
+        side, codec, raw, owns = self._side, self._codec, self._raw, self._owns_raw
+        self._side = None
+        self._codec = None
+        self._raw = None
+        self._owns_raw = False
         try:
-            if self._mode == _MODE_READ:
-                self._decompressor.close()
-                self._decompressor = None
-            elif self._mode == _MODE_WRITE:
-                self._fp.write(self._compressor.flush())
-                self._compressor = None
+            if side == "w":
+                raw.write(codec.flush())
+            else:
+                codec.close()
         finally:
-            try:
-                if self._closefp:
-                    self._fp.close()
-            finally:
-                self._fp = None
-                self._closefp = False
-                self._mode = _MODE_CLOSED
+            if owns:
+                raw.close()
 
     @property
     def closed(self):
-        return self._mode == _MODE_CLOSED
+        return self._side is None
 
-    def _check_not_closed(self):
-        if self.closed:
+    @property
+    def _fp(self):
+        """Underlying binary file (reference-internal name kept: existing
+        callers poke it, e.g. to peek for EOF)."""
+        return self._raw
+
+    def _live_raw(self):
+        if self._side is None:
             raise ValueError("I/O operation on closed file")
+        return self._raw
 
     def fileno(self):
-        self._check_not_closed()
-        return self._fp.fileno()
+        return self._live_raw().fileno()
 
     def seekable(self):
         return False
 
     def readable(self):
-        self._check_not_closed()
-        return self._mode == _MODE_READ
-
-    def _check_can_read(self):
-        if not self.readable():
-            raise io.UnsupportedOperation("File not open for reading")
+        self._live_raw()
+        return self._side == "r"
 
     def writable(self):
-        self._check_not_closed()
-        return self._mode == _MODE_WRITE
-
-    def _check_can_write(self):
-        if not self.writable():
-            raise io.UnsupportedOperation("File not open for writing")
+        self._live_raw()
+        return self._side == "w"
 
     def read(self, size=-1):
         """Read up to ``size`` *compressed* bytes from the underlying file
         and return their decompressed expansion (reference quirk kept:
         huffmanfile.py:152-162 sizes the compressed read)."""
-        self._check_can_read()
-        if size < 0:
-            size = io.DEFAULT_BUFFER_SIZE
-        data = self._fp.read(size)
-        return self._decompressor.decompress(data)
+        if not self.readable():
+            raise io.UnsupportedOperation("File not open for reading")
+        n = size if size >= 0 else io.DEFAULT_BUFFER_SIZE
+        return self._codec.decompress(self._raw.read(n))
 
     def write(self, data):
-        self._check_can_write()
-        if isinstance(data, (bytes, bytearray)):
-            length = len(data)
-        else:
-            data = memoryview(data)
-            length = data.nbytes
-        compressed = self._compressor.compress(data)
-        self._fp.write(compressed)
-        return length
+        if not self.writable():
+            raise io.UnsupportedOperation("File not open for writing")
+        view = data if isinstance(data, (bytes, bytearray)) else memoryview(data)
+        self._raw.write(self._codec.compress(view))
+        return view.nbytes if isinstance(view, memoryview) else len(view)
 
 
 def open(filename, mode="rb", encoding=None, errors=None, newline=None):
     """Open a Huffman-compressed file in binary or text mode
-    (huffmanfile.py:184-216)."""
-    if "t" in mode and "b" in mode:
+    (behavioral twin of reference huffmanfile.py:184-216)."""
+    text = "t" in mode
+    if text and "b" in mode:
         raise ValueError("Invalid mode: %r" % (mode,))
-    else:
-        if encoding is not None:
-            raise ValueError("Argument 'encoding' not supported in binary mode")
-        if errors is not None:
-            raise ValueError("Argument 'errors' not supported in binary mode")
-        if newline is not None:
-            raise ValueError("Argument 'newline' not supported in binary mode")
-
-    file_mode = mode.replace("t", "")
-    binary_file = HuffmanFile(filename, file_mode)
-
-    if "t" in mode:
-        return io.TextIOWrapper(binary_file, encoding, errors, newline)
-    else:
-        return binary_file
+    if not text:
+        for name, val in (("encoding", encoding), ("errors", errors),
+                          ("newline", newline)):
+            if val is not None:
+                raise ValueError(
+                    "Argument '%s' not supported in binary mode" % name
+                )
+    hf = HuffmanFile(filename, mode.replace("t", ""))
+    return io.TextIOWrapper(hf, encoding, errors, newline) if text else hf
 
 
 def compress(data, blocksize: int = DEFAULT_BLOCK_SIZE) -> bytes:

@@ -43,6 +43,17 @@ _NT = 1027  # tree node slots: up to 1025 preorder nodes + root pad + trap
 # Static max-code-length buckets (jit cache keys); > 32 falls back to host.
 _MAXL_BUCKETS = (12, 16, 20, 26, 32)
 
+# Distinct device-kernel shapes dispatched so far: (B, NP, OUTW, MAXL).
+# The bucket scheme bounds the product — B and OUTW are pow2-bucketed, NP
+# is pow2 in [512, 2^21], MAXL one of five values — and the bench reports
+# len(compile_keys()) so jit-cache pressure is measured, not guessed.
+_COMPILE_KEYS: set[tuple[int, int, int, int]] = set()
+
+
+def compile_keys() -> frozenset:
+    """Distinct decode-kernel jit keys dispatched in this process."""
+    return frozenset(_COMPILE_KEYS)
+
 
 def _bucket(n: int, lo: int) -> int:
     b = lo
@@ -240,6 +251,7 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
 def _run_plan(plan: _Plan):
     import jax.numpy as jnp
 
+    _COMPILE_KEYS.add((plan.w32.shape[0], plan.NP, plan.OUTW, plan.maxl))
     return ddec.decode_blocks(
         jnp.asarray(plan.w32), jnp.asarray(plan.trees),
         jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.maxl,
@@ -349,9 +361,17 @@ def _chain(data: bytes, length: int, use_device: bool):
     return b"".join(out), off
 
 
-def decode(data: bytes, length: int | None = None, use_device: bool = True) -> bytes:
+def decode(data: bytes, length: int | None = None, use_device: bool = True,
+           config=None) -> bytes:
     """Whole-stream decode with the reference's strict semantics: the first
-    failing block in chain order raises (src/decoder.c:218-275)."""
+    failing block in chain order raises (src/decoder.c:218-275).
+
+    A :class:`~libhuffman_tpu.config.DecodeConfig` overrides the positional
+    knobs (config.length caps consumption; use_device routes eligibility)."""
+    if config is not None:
+        use_device = config.use_device
+        if config.length:
+            length = config.length
     if length is None:
         length = len(data)
     if length == 0:

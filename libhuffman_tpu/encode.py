@@ -94,13 +94,26 @@ def encode(
     data: bytes | np.ndarray,
     blocksize: int = DEFAULT_BLOCK_SIZE,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+    config=None,
 ) -> bytes:
     """Encode ``data`` into the libhuffman block format on the device.
 
     ``blocksize == 0`` treats the whole input as one block
     (src/encoder.c:163-165); the ragged tail becomes its own smaller block.
+    Passing an :class:`~libhuffman_tpu.config.EncodeConfig` overrides the
+    positional knobs (config.length caps the input; config.mesh routes the
+    batches through the sharded path).
     """
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    if config is not None:
+        blocksize = config.blocksize
+        batch_blocks = config.batch_blocks
+        if config.length:
+            buf = buf[: config.length]
+        if config.mesh is not None:
+            from .parallel.shard import encode_stream_sharded
+
+            return encode_stream_sharded(buf, blocksize, config.mesh)
     n = len(buf)
     if n == 0:
         return b""

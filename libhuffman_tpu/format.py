@@ -176,6 +176,54 @@ def deserialize_tree(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return left[:count], right[:count], index[:count], root
 
 
+def node_to_string(tree: ArrayTree, node: int, limit: int = 1024) -> str:
+    """Leaf-to-root path of ``node`` as '0'/'1' characters.
+
+    Debugging analogue of ``huf_node_to_string`` (src/tree.c:12-47): emits
+    '0' when the walked node is its parent's left child, '1' otherwise, in
+    leaf-to-root order (i.e. the codeword *reversed*, exactly like the
+    reference, which re-reverses it during encoding at encoder.c:106-108);
+    output clamps to ``limit`` characters like the caller-provided buffer.
+    """
+    parent = np.full(HISTOGRAM_LEN, -1, np.int32)
+    for p in range(HISTOGRAM_LEN):
+        if tree.left[p] >= 0:
+            parent[tree.left[p]] = p
+        if tree.right[p] >= 0:
+            parent[tree.right[p]] = p
+    out = []
+    cur = node
+    while parent[cur] >= 0 and len(out) < limit:
+        out.append("0" if tree.left[parent[cur]] == cur else "1")
+        cur = parent[cur]
+    return "".join(out)
+
+
+def describe_tree(tree_i16: np.ndarray) -> dict[int, str]:
+    """Codebook of a serialized block tree: {symbol: MSB-first code string}.
+
+    The introspection surface the reference exposes through
+    ``huf_node_to_string`` (src/tree.c:12-47) — here one call dumps every
+    leaf of a wire-format tree, root-to-leaf (ready-to-read) bit order.
+    """
+    left, right, index, root = deserialize_tree(np.asarray(tree_i16))
+    codes: dict[int, str] = {}
+    if root < 0:
+        return codes
+    stack = [(root, "")]
+    while stack:
+        node, path = stack.pop()
+        l, r = int(left[node]), int(right[node])
+        if l < 0 and r < 0:
+            codes[int(index[node])] = path
+            continue
+        if r >= 0:
+            stack.append((r, path + "1"))
+        if l >= 0:
+            stack.append((l, path + "0"))
+    return codes
+
+
 # A block's compressed payload length is NOT stored in the header: the
 # reference decoder discovers it implicitly by walking bits until n_sym
 # symbols are restored (decoder.c:34-96).  Block boundaries are therefore a
@@ -205,11 +253,27 @@ def find_candidate_headers(data: np.ndarray, max_n_sym: int = 1 << 32) -> np.nda
     if n < BLOCK_HEADER.size:
         return np.zeros(0, dtype=np.int64)
     m = n - BLOCK_HEADER.size + 1  # last offset where a full header fits
-    d = data.astype(np.int64)
-    # n_sym low 4 bytes (LE) and high 4 bytes must-be-zero check.
-    lo = d[0:m] | (d[1 : m + 1] << 8) | (d[2 : m + 2] << 16) | (d[3 : m + 3] << 24)
-    hi_zero = (d[4 : m + 4] | d[5 : m + 5] | d[6 : m + 6] | d[7 : m + 7]) == 0
-    tree_len = d[8 : m + 8] | (d[9 : m + 9] << 8)
-    tree_len = np.where(tree_len >= 1 << 15, tree_len - (1 << 16), tree_len)  # i16
-    ok = hi_zero & (lo >= 1) & (lo < max_n_sym) & (tree_len >= 1) & (tree_len <= BTREE_SER_MAX)
-    return np.nonzero(ok)[0].astype(np.int64)
+    # Chunked scan: the widened temporaries are bounded per chunk instead of
+    # ~9 int64 copies of the whole stream (a 10 GB stream would otherwise
+    # allocate ~hundreds of GB; now peak extra memory is ~12x CHUNK).
+    CHUNK = 1 << 23
+    found: list[np.ndarray] = []
+    for base in range(0, m, CHUNK):
+        end = min(base + CHUNK, m)
+        d = data[base : end + BLOCK_HEADER.size - 1].astype(np.int64)
+        c = end - base
+        lo = (d[0:c] | (d[1 : c + 1] << 8) | (d[2 : c + 2] << 16)
+              | (d[3 : c + 3] << 24))
+        hi_zero = (d[4 : c + 4] | d[5 : c + 5] | d[6 : c + 6]
+                   | d[7 : c + 7]) == 0
+        tree_len = d[8 : c + 8] | (d[9 : c + 9] << 8)
+        tree_len = np.where(tree_len >= 1 << 15, tree_len - (1 << 16),
+                            tree_len)  # i16
+        ok = (hi_zero & (lo >= 1) & (lo < max_n_sym)
+              & (tree_len >= 1) & (tree_len <= BTREE_SER_MAX))
+        hits = np.nonzero(ok)[0]
+        if len(hits):
+            found.append(hits.astype(np.int64) + base)
+    if not found:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(found)

@@ -30,10 +30,11 @@ def _lib():
     )
     cache.mkdir(parents=True, exist_ok=True)
     so = cache / "libhuffman_native.so"
+    extra = os.environ.get("LIBHUFFMAN_TPU_NATIVE_FLAGS", "").split()
     if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
         subprocess.run(
-            ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", str(_SRC),
-             "-o", str(so)],
+            ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", *extra,
+             str(_SRC), "-o", str(so)],
             check=True, capture_output=True,
         )
     lib = ctypes.CDLL(str(so))

@@ -435,9 +435,10 @@ def _emit(start: jax.Array, sym: jax.Array, OUTW: int):
         shift = (24 - 8 * cnt).astype(jnp.uint32) & 31
         w = jnp.where(sj, w | (y8[:, :, j] << shift), w)
         cnt = cnt + sj.astype(jnp.int32)
-    words, _ = pack_tree.concat_bitstrings(
-        w[:, None, :], cnt * 8, max_cap=OUTW
-    )
+    # First three merge levels in struct-of-arrays form (2-D planes only):
+    # a (B, 1, NG) entry point invites a 128x-padded layout (pack_tree).
+    strings, glens = pack_tree._soa_levels(w, cnt * 8, 3)
+    words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
     if words.shape[1] < OUTW:
         words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
     out = jnp.stack(

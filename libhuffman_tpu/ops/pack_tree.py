@@ -124,6 +124,53 @@ def concat_bitstrings(strings: jax.Array, lens: jax.Array,
     return strings.reshape(B, cap), lens[:, 0]
 
 
+def _soa_merge(ws: tuple, lens: jax.Array):
+    """Merge adjacent string pairs in struct-of-arrays form.
+
+    ws: tuple of k (B, P) u32 arrays — word j of string p is ws[j][:, p];
+    lens: (B, P) i32 bit lengths.  Returns (tuple of 2k (B, P/2), (B, P/2)).
+
+    The low merge levels (capacity 1-4 words) must avoid the (B, cap, P)
+    layout: XLA pads a unit/near-unit ``cap`` dimension to the 8x128 tile,
+    which blew a 64 MB temp into 8 GB at bench scale.  Keeping each word
+    plane as its own 2-D array sidesteps layout choice entirely.
+    """
+    k = len(ws)
+    a = [w[:, 0::2] for w in ws]
+    b = [w[:, 1::2] for w in ws]
+    la = lens[:, 0::2]
+    lb = lens[:, 1::2]
+    s = la >> 5  # word shift in [0, k]
+    r = (la & 31).astype(jnp.uint32)
+    zero = jnp.zeros_like(b[0])
+    bw = []
+    for j in range(2 * k):
+        acc = zero
+        for sv in range(k + 1):
+            src = j - sv
+            if 0 <= src < k:
+                acc = jnp.where(s == sv, b[src], acc)
+        bw.append(acc)
+    out = []
+    prev = zero
+    for j in range(2 * k):
+        shifted = jnp.where(r == 0, bw[j], (bw[j] >> r) | (prev << (jnp.uint32(32) - r)))
+        base = a[j] if j < k else zero
+        out.append(base | shifted)
+        prev = bw[j]
+    return tuple(out), la + lb
+
+
+def _soa_levels(word0: jax.Array, lens: jax.Array, levels: int):
+    """Run ``levels`` struct-of-arrays merges from 1-word strings; returns
+    the (B, cap, P) stack ready for the generic tree."""
+    ws = (word0,)
+    ln = lens
+    for _ in range(levels):
+        ws, ln = _soa_merge(ws, ln)
+    return jnp.stack(ws, axis=1), ln  # (B, 2^levels, P / 2^levels)
+
+
 def pack_words_chunked(C: jax.Array, L: jax.Array, W: int, capw: int
                        ) -> tuple[jax.Array, jax.Array]:
     """Two-phase packer: 64-symbol chunks concatenate locally, then chunk
@@ -150,21 +197,34 @@ def pack_words_chunked(C: jax.Array, L: jax.Array, W: int, capw: int
     if P != N:
         C = jnp.pad(C, ((0, 0), (0, P - N)))
         L = jnp.pad(L, ((0, 0), (0, P - N)))
-    NG = P // G
     ln = L.astype(jnp.uint32)
-    level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31), jnp.uint32(0))
-    # Phase 1: local concat inside every 64-symbol chunk.
-    local, chunk_bits = concat_bitstrings(
-        level0.reshape(B * NG, G)[:, None, :],
-        L.reshape(B * NG, G).astype(jnp.int32),
-    )  # (B*NG, G) words, (B*NG,) bits
-    overflow = jnp.any(
-        chunk_bits.reshape(B, NG) > capw * 32, axis=1
+    level0 = jnp.where(
+        ln > 0, C << ((jnp.uint32(32) - ln) & 31), jnp.uint32(0)
     )
-    clipped = local[:, :capw].reshape(B, NG, capw).swapaxes(1, 2)  # (B,capw,NG)
-    words, _total = concat_bitstrings(
-        clipped, chunk_bits.reshape(B, NG).astype(jnp.int32)
-    )
+    strings, lens = _soa_levels(level0, L.astype(jnp.int32), 3)
+    cap = 8
+    P //= 8
+    axis = 1
+    overflow = None
+    while P > 1:
+        if axis == 1 and P <= _SWAP_AT:
+            strings = strings.swapaxes(1, 2)
+            axis = 2
+        strings, lens = _merge(strings, lens, axis)
+        cap *= 2
+        P //= 2
+        if cap == G:
+            # Strings now cover G input symbols each: clamp their capacity
+            # to the bucketed real maximum (chunk bit lengths are exact
+            # here; blocks that exceed the clamp are flagged for redo).
+            overflow = jnp.any(lens > capw * 32, axis=1)
+            strings = jax.lax.slice_in_dim(strings, 0, capw, axis=axis)
+            cap = capw
+    if axis == 1:
+        strings = strings.swapaxes(1, 2)
+    words = strings.reshape(B, cap)
+    if overflow is None:
+        overflow = jnp.zeros((B,), bool)
     if words.shape[1] < W:
         words = jnp.pad(words, ((0, 0), (0, W - words.shape[1])))
     return words[:, :W], overflow

@@ -108,6 +108,30 @@ def decode_blocks_sharded(payload_words, tree, n_sym, NP: int, OUTW: int,
     return tuple(np.asarray(r) for r in res)
 
 
+def encode_stream_sharded(buf: np.ndarray, blocksize: int, mesh: Mesh) -> bytes:
+    """Whole-stream encode over a device mesh: split into blocks, pad to a
+    mesh multiple, shard the batch, assemble in block order."""
+    n = len(buf)
+    if n == 0:
+        return b""
+    if blocksize <= 0:
+        blocksize = n
+    nblocks = -(-n // blocksize)
+    nd = mesh.devices.size
+    B = -(-nblocks // nd) * nd
+    batch = np.zeros((B, blocksize), np.uint8)
+    n_valid = np.zeros(B, np.int32)
+    flat = batch.reshape(-1)
+    flat[:n] = buf
+    n_valid[:nblocks] = blocksize
+    if n % blocksize:
+        n_valid[nblocks - 1] = n % blocksize
+    res = encode_sharded(batch, n_valid, mesh)
+    payload, total_bits, left, right, root, overflow = res
+    return assemble_stream(n_valid, total_bits, payload, left, right, root,
+                           overflow, batch)
+
+
 def assemble_stream(n_valid, total_bits, payload, left, right, root,
                     overflow, batch=None) -> bytes:
     """Ordered host assembly of a sharded encode's outputs.

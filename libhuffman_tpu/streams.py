@@ -63,15 +63,15 @@ class MemStream:
         return out
 
     def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        """Rewind-only, like huf_memrewind: the sole supported seek is
+        (0, SEEK_SET)."""
         if whence != io.SEEK_SET:
             raise ValueError(
-                "Seek on in-memory stream allows only io.SEEK_SET; got "
-                f"{whence}, which is not supported"
+                f"MemStream supports io.SEEK_SET only (whence={whence})"
             )
         if offset != 0:
             raise ValueError(
-                "Seek on in-memory stream allows only rewinds; got "
-                f"offset = {offset} which is not supported"
+                f"MemStream can only rewind to 0 (offset={offset})"
             )
         self._off = 0
         return 0

@@ -70,7 +70,8 @@ static int32_t deser_rec(const int16_t* buf, int32_t pos, int32_t limit,
                          int32_t* consumed, int32_t depth, int32_t* maxdepth)
 {
     if (limit < 1) { *consumed = 0; return nt - 1; }
-    int16_t v = buf[pos];
+    int16_t v;  // trees start at arbitrary stream offsets: unaligned load
+    memcpy(&v, reinterpret_cast<const char*>(buf) + 2 * (size_t)pos, 2);
     if (v == -1) { *consumed = 1; return nt - 1; }
     if (*count >= nt - 1) { *consumed = 1; return nt - 1; }  // overflow guard
     int32_t me = (*count)++;

@@ -1,0 +1,59 @@
+"""Corpus-scale oracle cross-check (>= 16 MB, enwik-like text + binary).
+
+The unit suite maxes out at a few hundred KB; this mirrors the
+BASELINE.json corpus intent (Silesia/enwik8-class inputs) with a
+deterministic Zipf-text corpus: our stream must byte-equal the compiled C
+reference and round-trip.  bench.py repeats the same check on every real
+TPU benchmark run.
+
+On the CPU backend the decode path runs the Pallas kernel in interpreter
+mode (hours at this scale), so the test runs when a TPU is present or when
+LIBHUFFMAN_CORPUS_TEST=1 forces it; CI covers the logic at smaller sizes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from libhuffman_tpu import decode as dec_mod
+from libhuffman_tpu import encode as enc_mod
+from oracle import ref_compress
+
+_RUN = (jax.default_backend() != "cpu"
+        or os.environ.get("LIBHUFFMAN_CORPUS_TEST") == "1")
+
+
+def _corpus(n_bytes: int) -> bytes:
+    rng = np.random.default_rng(42)
+    letters = np.frombuffer(b"etaoinshrdlcumwfgypbvkjxqz", np.uint8)
+    vocab = [bytes(rng.choice(letters, 1 + int(rng.integers(1, 9)))) + b" "
+             for _ in range(4096)]
+    ranks = np.arange(1, 4097, dtype=np.float64)
+    probs = (1 / ranks) / (1 / ranks).sum()
+    words = rng.choice(4096, size=n_bytes // 5, p=probs)
+    out = b"".join(vocab[w] for w in words)
+    while len(out) < n_bytes:
+        out += out
+    return out[:n_bytes]
+
+
+@pytest.mark.skipif(not _RUN, reason="CPU interpret mode is impractical at "
+                    "16 MB; runs on TPU and under LIBHUFFMAN_CORPUS_TEST=1")
+def test_16mb_text_oracle_exact_roundtrip():
+    data = _corpus(16 << 20)
+    ours = enc_mod.encode(data, 65536)
+    assert ours == ref_compress(data, 65536)
+    assert dec_mod.decode(ours) == data
+
+
+@pytest.mark.skipif(not _RUN, reason="see above")
+def test_16mb_mixed_blocksizes_oracle_exact():
+    data = _corpus(8 << 20) + np.random.default_rng(7).integers(
+        0, 256, 8 << 20, np.uint8).tobytes()
+    for bs in (4096, 131072):
+        ours = enc_mod.encode(data, bs)
+        assert ours == ref_compress(data, bs)
+    assert dec_mod.decode(enc_mod.encode(data, 131072)) == data
