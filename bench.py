@@ -124,8 +124,12 @@ def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
     return n / best / 1e9
 
 
-def bench_decode_device(enc: bytes, repeat=3):
-    """Device-resident decode throughput on the real compressed stream."""
+def decode_plans(enc: bytes):
+    """Host-side decode plan building (scan, parse, tree deser, batching).
+
+    Returns (plans, n_out): shape-homogeneous device batches for the whole
+    stream plus the total output byte count.  Shared by the throughput bench
+    and the per-phase profiler (BENCH_PHASES=1)."""
     from libhuffman_tpu import decode as dec_mod
     from libhuffman_tpu.format import find_candidate_headers, parse_block_header
 
@@ -161,6 +165,12 @@ def bench_decode_device(enc: bytes, repeat=3):
         eligible.append((c, packed_all[i], cap, depth))
         n_out += c.n_sym
     plans = dec_mod._build_plans(buf, eligible)
+    return plans, n_out
+
+
+def bench_decode_device(enc: bytes, repeat=3):
+    """Device-resident decode throughput on the real compressed stream."""
+    plans, n_out = decode_plans(enc)
     dev_plans = [
         (jax.device_put(jnp.asarray(p.w32)), jax.device_put(jnp.asarray(p.trees)),
          jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.maxl)

@@ -105,6 +105,12 @@ class HuffmanDecompressor:
         self._stream = MemStream(capacity=max(int(memlimit), 0))
         self._closed = False
         self._need = 1  # bytes the buffer must reach before the next attempt
+        # Measurement-walk cache for the pending (incomplete) head block:
+        # (sig, (node, restored, payload_pos)).  Carrying the walk across
+        # feeds makes byte-drip decompression O(n) total walk work instead
+        # of a full O(n) re-walk per feed (O(n^2)).
+        self._walk_sig = None
+        self._walk_state = None
 
     def decompress(self, data) -> bytes:
         if self._closed:
@@ -147,18 +153,22 @@ class HuffmanDecompressor:
             return len(buf)
         from . import native
 
-        if native.available():
-            import numpy as np
+        import numpy as np
 
-            restored = native.walk_progress(
-                np.asarray(hdr.tree, np.int16),
-                np.frombuffer(buf, np.uint8, offset=hdr.payload_off),
-                hdr.n_sym,
+        tree = np.asarray(hdr.tree, np.int16)
+        use_native = native.available()
+        sig = (hdr.n_sym, hdr.payload_off, tree.tobytes(), use_native)
+        state = self._walk_state if sig == self._walk_sig else None
+        payload = np.frombuffer(buf, np.uint8, offset=hdr.payload_off)
+        if use_native:
+            restored, state = native.walk_progress_resume(
+                tree, payload, hdr.n_sym, state
             )
         else:
-            restored = hostref.walk_progress(
-                hdr.tree, memoryview(buf)[hdr.payload_off :], hdr.n_sym
+            restored, state = hostref.walk_progress_resume(
+                tree, payload, hdr.n_sym, state
             )
+        self._walk_sig, self._walk_state = sig, state
         return len(buf) + max(1, -(-(hdr.n_sym - restored) // 8))
 
     @property

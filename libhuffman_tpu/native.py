@@ -54,6 +54,11 @@ def _lib():
     lib.walk_progress.argtypes = [
         i16p, ctypes.c_int32, i8p, ctypes.c_int64, ctypes.c_uint64]
     lib.walk_progress.restype = ctypes.c_uint64
+    lib.walk_progress_resume.argtypes = [
+        i16p, ctypes.c_int32, i8p, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.walk_progress_resume.restype = ctypes.c_int32
     return lib
 
 
@@ -120,3 +125,24 @@ def walk_progress(tree: np.ndarray, payload: np.ndarray, n_sym: int) -> int:
         np.ascontiguousarray(tree, np.int16), len(tree),
         np.ascontiguousarray(payload, np.uint8), len(payload), n_sym,
     ))
+
+
+def walk_progress_resume(tree: np.ndarray, payload: np.ndarray, n_sym: int,
+                         state: tuple[int, int, int] | None = None
+                         ) -> tuple[int, tuple[int, int, int]]:
+    """Resumable measurement walk: state = (node, restored, pos) carries the
+    walk across incremental feeds so each payload byte is visited once.
+
+    Returns (restored, new_state); node -1 in the state marks a walk frozen
+    on corruption (the caller's decode attempt classifies it)."""
+    node, restored, pos = state if state is not None else (0, 0, 0)
+    c_pos = ctypes.c_int64(pos)
+    c_state = ctypes.c_int32(node)
+    c_restored = ctypes.c_uint64(restored)
+    _lib().walk_progress_resume(
+        np.ascontiguousarray(tree, np.int16), len(tree),
+        np.ascontiguousarray(payload, np.uint8), len(payload), n_sym,
+        ctypes.byref(c_pos), ctypes.byref(c_state), ctypes.byref(c_restored),
+    )
+    return int(c_restored.value), (c_state.value, int(c_restored.value),
+                                   c_pos.value)

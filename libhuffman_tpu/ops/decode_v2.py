@@ -543,3 +543,43 @@ def decode_blocks(payload_words, tree, n_sym, NP: int, OUTW: int, MAXL: int):
     # A chain that dies (stalls) before n_sym without a trap is a short read
     # signalled via end_bit = NP (host: consumed > avail -> ReadWrite).
     return out, end_bit, corrupt, bad_bit, (esc_ovf, dense_ovf)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def decode_blocks_prefix(payload_words, tree, n_sym, NP: int, OUTW: int,
+                         MAXL: int, upto: int):
+    """Profiling ablation: the decode pipeline truncated after stage ``upto``
+    (1=windows, 2=+lut, 3=+resolve, 4=+chain, 5=+emit, 6=full), reduced to a
+    checksum.  Phase cost k = t(k) - t(k-1); BENCH_PHASES=1 drives this."""
+    u32 = jnp.uint32
+    B = payload_words.shape[0]
+    win = jax.lax.optimization_barrier(windows32(payload_words))
+    if upto == 1:
+        return jnp.sum(win)
+    lut, lut_state, minlen = build_lut(tree)
+    lut = jax.lax.optimization_barrier(lut)
+    if upto == 2:
+        return (jnp.sum(lut.astype(u32)) + jnp.sum(lut_state.astype(u32))
+                + jnp.sum(minlen.astype(u32)))
+    meta, esc_ovf = resolve(win, tree, lut, lut_state, MAXL)
+    meta = jax.lax.optimization_barrier(meta)
+    if upto == 3:
+        return jnp.sum(meta) + esc_ovf.astype(u32)
+    ln = ((meta >> 8) & 63).astype(jnp.uint8)
+    start_w = chain_starts(ln.T, MAXL)
+    if upto == 4:
+        return jnp.sum(start_w)
+    bit_iota = jax.lax.broadcasted_iota(u32, (NP // 32, 32), 1)
+    start = (
+        ((start_w.T[:, :, None] >> bit_iota[None]) & 1).astype(bool)
+    ).reshape(B, NP)
+    start = jax.lax.optimization_barrier(start)
+    sym = (meta & 0xFF).astype(jnp.uint8)
+    out, gcnt = _emit(start, sym, OUTW)
+    if upto == 5:
+        return jnp.sum(out.astype(u32)) + jnp.sum(gcnt.astype(u32))
+    res = decode_blocks(payload_words, tree, n_sym, NP, OUTW, MAXL)
+    out, end_bit, corrupt, bad_bit, (esc_ovf, dense_ovf) = res
+    return (jnp.sum(out.astype(u32)) + jnp.sum(end_bit.astype(u32))
+            + jnp.sum(corrupt.astype(u32)) + jnp.sum(bad_bit.astype(u32))
+            + esc_ovf.astype(u32) + jnp.sum(dense_ovf.astype(u32)))

@@ -283,3 +283,34 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
     words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
     return (words_to_bytes(words), total_bits, left, right, root,
             overflow | pack_ovf)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
+                         capw: int, upto: int):
+    """Profiling ablation: the encode pipeline truncated after stage ``upto``
+    (1=histogram, 2=+tree, 3=+codes, 4=+layout, 5=+pack), reduced to a tiny
+    checksum so stage outputs never leave the device.  Phase cost k =
+    t(k) - t(k-1); the BENCH_PHASES=1 bench path drives this."""
+    u32 = jnp.uint32
+    freqs = histogram(blocks, n_valid)
+    if upto == 1:
+        return jnp.sum(freqs.astype(u32))
+    freqs = jax.lax.optimization_barrier(freqs)
+    left, right, parent, pbit, root = jax.lax.optimization_barrier(
+        build_trees(freqs)
+    )
+    if upto == 2:
+        return jnp.sum(left.astype(u32)) + jnp.sum(root.astype(u32))
+    codes, lens, overflow = jax.lax.optimization_barrier(
+        extract_codes(parent, pbit)
+    )
+    if upto == 3:
+        return jnp.sum(codes) + jnp.sum(lens.astype(u32))
+    C, L = jax.lax.optimization_barrier(
+        symbol_layout(blocks, codes, lens, n_valid)
+    )
+    if upto == 4:
+        return jnp.sum(C) + jnp.sum(L.astype(u32))
+    words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
+    return jnp.sum(words) + jnp.sum(pack_ovf.astype(u32))

@@ -307,21 +307,33 @@ def walk_progress(tree_i16: np.ndarray, payload, n_sym: int) -> int:
     block.  Returns ``n_sym`` if the payload is sufficient; corruption is
     ignored here (the real decode attempt reports it).
     """
+    return walk_progress_resume(tree_i16, payload, n_sym)[0]
+
+
+def walk_progress_resume(tree_i16: np.ndarray, payload, n_sym: int,
+                         state: tuple[int, int, int] | None = None
+                         ) -> tuple[int, tuple[int, int, int]]:
+    """Resumable :func:`walk_progress`: ``state = (node, restored, pos)``
+    carries the measurement walk across incremental feeds so each payload
+    byte is walked exactly once overall (O(n) total for byte-drip feeding).
+    Node -1 freezes a walk that hit a missing child — the caller's decode
+    attempt classifies the corruption."""
     t = _walk_tables(tree_i16)
     if t is None:
-        return 0
+        return 0, (-1, 0, 0)
     buf = np.asarray(payload, dtype=np.uint8)
-    state, restored, pos = t["root"], 0, 0
+    node, restored, pos = state if state is not None else (t["root"], 0, 0)
     next8, emit_count = t["next8"], t["emit_count"]
     nbuf = len(buf)
-    while restored < n_sym and pos < nbuf:
+    while node >= 0 and restored < n_sym and pos < nbuf:
         byte = int(buf[pos])
         pos += 1
-        if next8[state, byte] < 0:
-            break  # corrupt walk: let the decode attempt classify it
-        restored += int(emit_count[state, byte])
-        state = int(next8[state, byte])
-    return min(restored, n_sym)
+        if next8[node, byte] < 0:
+            node = -1  # corrupt walk: let the decode attempt classify it
+            break
+        restored += int(emit_count[node, byte])
+        node = int(next8[node, byte])
+    return min(restored, n_sym), (node, restored, pos)
 
 
 def decode(data: bytes, length: int | None = None) -> bytes:

@@ -237,4 +237,52 @@ uint64_t walk_progress(const int16_t* tree, int32_t tree_len,
     return restored;
 }
 
+// Resumable variant: continues a measurement walk from (pos, state,
+// restored) over the same block's payload, so an incremental feeder walks
+// each payload byte exactly once across calls (O(n) total instead of the
+// O(n^2) full re-walk per feed).  state -1 marks a walk that stepped into a
+// missing child: progress is frozen and the caller's decode attempt
+// classifies the corruption (reference read-then-step order,
+// src/decoder.c:52-91).  Returns 0 on bad tree (state set to -1).
+int32_t walk_progress_resume(const int16_t* tree, int32_t tree_len,
+                             const uint8_t* payload, int64_t payload_len,
+                             uint64_t n_sym, int64_t* pos_io,
+                             int32_t* state_io, uint64_t* restored_io)
+{
+    const int32_t NT = 1027;
+    uint32_t nodes[1027];
+    int32_t depth = 0;
+    if (deserialize_tree(tree, tree_len, nodes, NT, &depth) < 0) {
+        *state_io = -1;
+        return 0;
+    }
+    int64_t pos = *pos_io;
+    int32_t state = *state_io;
+    uint64_t restored = *restored_io;
+    const int32_t trap = NT - 1;
+    if (state < 0) return 1;  // stuck on corruption: no further progress
+    while (restored < n_sym && pos < payload_len) {
+        uint8_t byte = payload[pos++];
+        for (int b = 7; b >= 0; --b) {
+            uint32_t node = nodes[state];
+            int32_t nxt = (byte >> b) & 1 ? (int32_t)((node >> 11) & 0x7FF)
+                                          : (int32_t)(node & 0x7FF);
+            if (nxt == trap) { state = -1; break; }
+            uint32_t sc = nodes[nxt] >> 22;
+            if (sc < 256) {
+                ++restored;
+                state = 0;
+                if (restored >= n_sym) break;
+            } else {
+                state = nxt;
+            }
+        }
+        if (state < 0) break;
+    }
+    *pos_io = pos;
+    *state_io = state;
+    *restored_io = restored;
+    return 1;
+}
+
 }  // extern "C"

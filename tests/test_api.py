@@ -90,6 +90,46 @@ def test_incremental_decompressor():
     assert out == data
 
 
+def test_incremental_decompressor_drip_walk_is_linear(monkeypatch):
+    # Byte-drip feeding a single-block stream must do O(n) *total*
+    # measurement-walk work: the resumable walk state (api.py _tail_need)
+    # revisits no payload byte.  Count walked bytes through both backends'
+    # entry points and assert they never exceed the payload length.
+    data = bytes(np.random.default_rng(7).integers(97, 123, 1 << 15,
+                                                   dtype=np.uint8))
+    enc = ref_compress(data, 0)  # blocksize 0: one block (encoder.c:163-165)
+
+    from libhuffman_tpu import native
+    from libhuffman_tpu.ops import hostref
+
+    walked = [0]
+    real_native, real_host = native.walk_progress_resume, hostref.walk_progress_resume
+
+    def count_native(tree, payload, n_sym, state=None):
+        pos0 = state[2] if state else 0
+        restored, st = real_native(tree, payload, n_sym, state)
+        walked[0] += st[2] - pos0
+        return restored, st
+
+    def count_host(tree, payload, n_sym, state=None):
+        pos0 = state[2] if state else 0
+        restored, st = real_host(tree, payload, n_sym, state)
+        walked[0] += st[2] - pos0
+        return restored, st
+
+    monkeypatch.setattr(native, "walk_progress_resume", count_native)
+    monkeypatch.setattr(hostref, "walk_progress_resume", count_host)
+
+    dec = huffmanfile.HuffmanDecompressor()
+    out = b""
+    step = 97  # drip in sub-block chunks, including mid-header feeds
+    for i in range(0, len(enc), step):
+        out += dec.decompress(enc[i : i + step])
+    assert out == data
+    payload_len = len(enc)  # header included: a safe upper bound
+    assert walked[0] <= payload_len, (walked[0], payload_len)
+
+
 def test_compressor_after_flush_raises():
     comp = huffmanfile.HuffmanCompressor()
     comp.compress(b"abc")
