@@ -38,7 +38,10 @@ from ..format import ASCII_COUNT, HISTOGRAM_LEN
 from . import mxu_gather, pack_tree
 
 MAX_CODE_BITS = 32  # device fast-path limit; see module docstring
-_BIG = jnp.int32(1 << 30)
+# Plain int, not jnp.int32: a module-level device scalar would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize for
+# multihost workers (it must run before any backend touch).
+_BIG = 1 << 30
 
 
 # --------------------------------------------------------------------------
