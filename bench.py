@@ -111,80 +111,66 @@ def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
     while P < bs:
         P *= 2
     W = min(P, capw * max(P // 64, 1))
-    # Warm/compile.
-    jax.block_until_ready(dev.encode_blocks(*batches[0], W, capw))
+
+    @jax.jit
+    def checksum(res):
+        payload, total_bits, left, right, root, overflow = res
+        return (jnp.sum(payload.astype(jnp.uint32)) + jnp.sum(total_bits)
+                + jnp.sum(root) + jnp.sum(overflow.astype(jnp.uint32)))
+
+    # Warm/compile; every timed repetition transfers a scalar checksum —
+    # block_until_ready can return early on the axon tunnel (PERF.md §1).
+    np.asarray(checksum(dev.encode_blocks(*batches[0], W, capw)))
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint8(rep + 1)  # defeat dispatch coalescing
         t0 = time.perf_counter()
-        outs = [dev.encode_blocks(b ^ salt, nv, W, capw)
-                for b, nv in batches]
-        jax.block_until_ready(outs)
+        acc = [checksum(dev.encode_blocks(b ^ salt, nv, W, capw))
+               for b, nv in batches]
+        _ = [np.asarray(a) for a in acc]
         best = min(best, time.perf_counter() - t0)
     return n / best / 1e9
 
 
 def decode_plans(enc: bytes):
-    """Host-side decode plan building (scan, parse, tree deser, batching).
+    """Host-side decode plan building (scan, parse, table build, batching).
 
-    Returns (plans, n_out): shape-homogeneous device batches for the whole
-    stream plus the total output byte count.  Shared by the throughput bench
-    and the per-phase profiler (BENCH_PHASES=1)."""
+    Returns (plans, n_out); shared by the throughput bench and the
+    per-phase profiler (BENCH_PHASES=1)."""
     from libhuffman_tpu import decode as dec_mod
-    from libhuffman_tpu.format import find_candidate_headers, parse_block_header
 
-    buf = np.frombuffer(enc, np.uint8)
-    offs = find_candidate_headers(buf)
-    mv = memoryview(enc)
-    cands = []
-    for off in offs.tolist():
-        try:
-            hdr = parse_block_header(mv, off)
-        except Exception:
-            continue
-        avail = len(enc) - hdr.payload_off
-        if avail < 0 or hdr.n_sym == 0 or hdr.n_sym > 8 * avail:
-            continue
-        cands.append(dec_mod._Candidate(off, hdr.n_sym, np.asarray(hdr.tree),
-                                        hdr.payload_off, avail))
-    eligible = []
-    import libhuffman_tpu.native as native
-    bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in cands])
-    lens = np.array([len(c.tree) for c in cands], np.int32)
-    offs2 = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
-    packed_all, counts_all, depths_all = native.deserialize_trees(
-        bufs, offs2, lens)
-    n_out = 0
-    for i, c in enumerate(cands):
-        depth = int(depths_all[i])
-        if counts_all[i] < 0 or depth > 32 or depth < 2:
-            continue
-        cap = min(c.avail, (c.n_sym * depth + 7) // 8)
-        if cap > (1 << 18):
-            continue
-        eligible.append((c, packed_all[i], cap, depth))
-        n_out += c.n_sym
-    plans = dec_mod._build_plans(buf, eligible)
-    return plans, n_out
+    return dec_mod.build_device_plans(enc)
 
 
 def bench_decode_device(enc: bytes, repeat=3):
-    """Device-resident decode throughput on the real compressed stream."""
+    """Device-resident decode throughput on the real compressed stream.
+
+    Timing forces a host transfer of a scalar checksum per repetition —
+    block_until_ready can return before execution completes on the axon
+    tunnel (measured; PERF.md section 1)."""
     plans, n_out = decode_plans(enc)
     dev_plans = [
-        (jax.device_put(jnp.asarray(p.w32)), jax.device_put(jnp.asarray(p.trees)),
-         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.maxl)
+        (jax.device_put(jnp.asarray(p.words)),
+         jax.device_put(jnp.asarray(p.tables)),
+         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.ns)
         for p in plans
     ]
-    from libhuffman_tpu.ops import decode_v2 as ddec
-    jax.block_until_ready(ddec.decode_blocks(*dev_plans[0]))
+    from libhuffman_tpu.ops import decode_v3 as ddec
+
+    @jax.jit
+    def checksum(res):
+        out, end_bit, corrupt, bad_bit = res
+        return (jnp.sum(out.astype(jnp.uint32)) + jnp.sum(end_bit)
+                + jnp.sum(bad_bit))
+
+    np.asarray(checksum(ddec.decode_blocks(*dev_plans[0])))  # warm/compile
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint32(rep + 1)  # defeat dispatch coalescing
         t0 = time.perf_counter()
-        outs = [ddec.decode_blocks(w ^ salt, t, ns, NP, OW, ML)
-                for (w, t, ns, NP, OW, ML) in dev_plans]
-        jax.block_until_ready(outs)
+        acc = [checksum(ddec.decode_blocks(w ^ salt, t, ns, NP, OW, NS))
+               for (w, t, ns, NP, OW, NS) in dev_plans]
+        _ = [np.asarray(a) for a in acc]
         best = min(best, time.perf_counter() - t0)
     return n_out / best / 1e9, n_out
 
@@ -230,6 +216,36 @@ def main():
     t_dec_dev = n / dec_dev_gbps / 1e9 if dec_dev_bytes else float("inf")
     gbps = n / (t_enc_dev + t_dec_dev) / 1e9
 
+    scaling = None
+    if os.environ.get("BENCH_SCALING") != "0":
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only subprocess
+        env["JAX_PLATFORMS"] = "cpu"
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench", "scaling.py")],
+                env=env, capture_output=True, timeout=900,
+            )
+            scaling = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        except Exception:
+            scaling = None
+
+    phases = None
+    if os.environ.get("BENCH_PHASES") == "1":
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_phases",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench", "phases.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        phases = mod.run(dbuf, enc, bs)
+
     vs = None
     if os.environ.get("BENCH_SKIP_REF") != "1":
         try:
@@ -262,6 +278,8 @@ def main():
             "device": str(jax.devices()[0]),
             "note": "host<->device link here is a ~0.04 GB/s network tunnel"
                     " (PERF.md); e2e_* include it, device numbers do not",
+            **({"scaling": scaling} if scaling else {}),
+            **({"phases": phases} if phases else {}),
         },
     }))
 

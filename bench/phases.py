@@ -1,7 +1,7 @@
 """Per-phase throughput accounting (SURVEY.md §5.5, BENCH_PHASES=1).
 
 Ablation timing: compile the pipeline truncated after each stage (the
-``*_prefix`` functions in ops/device.py and ops/decode_v2.py, outputs reduced
+``*_prefix`` functions in ops/device.py and ops/decode_v3.py, outputs reduced
 to a device-resident checksum) and difference the walls.  This sidesteps the
 two measurement hazards documented in PERF.md §1: no stage boundary ever
 crosses the jit boundary (so no pathological inter-executable layouts), and
@@ -22,18 +22,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ENC_PHASES = ["histogram", "tree", "codes", "layout", "pack"]
-DEC_PHASES = ["windows", "lut", "resolve", "chain", "emit", "bookkeeping"]
+DEC_PHASES = ["resolve", "chain+groups", "emit", "bookkeeping"]
+
+
+def _np_force(r):
+    """Force a host transfer: block_until_ready can return before device
+    execution completes on the axon tunnel (measured, PERF.md section 1)."""
+    import numpy as np
+
+    if isinstance(r, (list, tuple)):
+        return [np.asarray(x) for x in r]
+    return np.asarray(r)
 
 
 def _time(fn, salts, repeat=3):
-    import jax
-
-    jax.block_until_ready(fn(salts[0]))  # warm/compile
+    _np_force(fn(salts[0]))  # warm/compile
     best = float("inf")
     for rep in range(repeat):
         s = salts[rep % len(salts)]
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(s))
+        _np_force(fn(s))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -81,27 +89,29 @@ def profile_decode(enc: bytes, repeat=3):
     import jax.numpy as jnp
 
     import bench as bench_mod
-    from libhuffman_tpu.ops import decode_v2 as ddec
+    from libhuffman_tpu.ops import decode_v3 as ddec
 
     plans, n_out = bench_mod.decode_plans(enc)
     from collections import Counter
 
-    shapes = Counter((p.w32.shape[0], p.NP, p.OUTW, p.maxl) for p in plans)
+    shapes = Counter((p.words.shape[0], p.NP, p.OUTW, p.ns) for p in plans)
     dom = shapes.most_common(1)[0][0]
-    sel = [p for p in plans if (p.w32.shape[0], p.NP, p.OUTW, p.maxl) == dom]
+    sel = [p for p in plans
+           if (p.words.shape[0], p.NP, p.OUTW, p.ns) == dom]
     covered = sum(int(p.n_sym.sum()) for p in sel)
     dev_plans = [
-        (jax.device_put(jnp.asarray(p.w32)), jax.device_put(jnp.asarray(p.trees)),
-         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.maxl)
+        (jax.device_put(jnp.asarray(p.words)),
+         jax.device_put(jnp.asarray(p.tables)),
+         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.ns)
         for p in sel
     ]
 
     cum = []
-    for k in range(1, 7):
+    for k in range(1, 5):
         def run(s, k=k):
             return [
-                ddec.decode_blocks_prefix(w ^ s, t, ns, NP, OW, ML, k)
-                for (w, t, ns, NP, OW, ML) in dev_plans
+                ddec.decode_blocks_prefix(w ^ s, t, ns, NP, OW, NS, k)
+                for (w, t, ns, NP, OW, NS) in dev_plans
             ]
         t = _time(run, [jnp.uint32(i) for i in range(1, 4)], repeat)
         cum.append(t)

@@ -30,9 +30,9 @@ Design rules that follow (applied across libhuffman_tpu/ops):
     (ops/mxu_gather) at ~6 G lookups/s;
   * data movement that depends on runtime values is expressed as merge
     trees of shifts (ops/pack_tree) or equality-matmul compactions
-    (ops/decode_v2._fix_escapes);
+    (the round-2 one-hot escape compaction (superseded by decode_v3));
   * sequential chains run in Pallas with VMEM-register state
-    (ops/decode_v2.chain_starts) — an XLA fori_loop round-trips its carry
+    (ops/decode_v3.chain_emit) — an XLA fori_loop round-trips its carry
     through HBM every iteration;
   * host<->device traffic is bucketed and sliced to the payload
     (tunnel-bound end-to-end; see PERF.md).

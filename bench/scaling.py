@@ -1,0 +1,76 @@
+"""Scaling efficiency on a virtual device mesh (BASELINE.md target: >= 85%).
+
+Runs standalone in a CPU-backend process with 8 virtual devices (the same
+simulation recipe as tests/ and the driver's multichip dryrun — SURVEY.md
+§5.8): times the sharded whole-stream encode on a 1-device and an 8-device
+mesh and reports efficiency = t1 / (8 * t8).
+
+Caveat (recorded in the output): virtual devices share one physical CPU, so
+8-way sharding cannot speed wall clock up — perfect sharding shows as
+efficiency ~1/8 * (t1/t8) ~ 12.5%-per-device-equivalent... which is why the
+reported ``efficiency`` instead normalizes by *work*: the sharded program
+partitions with zero collectives on the block axis, so the honest statement
+this harness can make without real multi-chip hardware is the overhead
+ratio t8 / t1 (how much slower the 8-way-sharded program runs on the same
+silicon).  A ratio near 1.0 means sharding added no redundant work or
+communication; on real chips that translates to near-linear scaling.
+
+Invoked by bench.py (subprocess, JAX_PLATFORMS=cpu) unless BENCH_SCALING=0.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import bench as bench_mod
+    from libhuffman_tpu.parallel.shard import block_mesh, encode_sharded
+
+    mb = int(os.environ.get("BENCH_SCALING_MB", "4"))
+    bs = 65536
+    data = np.frombuffer(bench_mod.corpus(mb << 20), np.uint8)
+    nblk = len(data) // bs
+    nblk -= nblk % 8
+    batch = data[: nblk * bs].reshape(nblk, bs)
+    n_valid = np.full(nblk, bs, np.int32)
+
+    results = {}
+    for nd in (1, 8):
+        mesh = block_mesh(jax.devices()[:nd])
+        encode_sharded(batch, n_valid, mesh, words_per_block=bs // 4)  # warm
+        best = float("inf")
+        for rep in range(2):
+            salted = batch ^ np.uint8(rep + 1)
+            t0 = time.perf_counter()
+            encode_sharded(salted, n_valid, mesh, words_per_block=bs // 4)
+            best = min(best, time.perf_counter() - t0)
+        results[f"t{nd}"] = best
+
+    overhead = results["t8"] / results["t1"]
+    print(json.dumps({
+        "bytes": int(nblk * bs),
+        "t1_s": round(results["t1"], 3),
+        "t8_s": round(results["t8"], 3),
+        "shard_overhead_ratio": round(overhead, 3),
+        "note": "8 virtual devices share one CPU: ratio ~1.0 = zero-overhead"
+                " partitioning (no collectives on the block axis); real-chip"
+                " scaling efficiency ~ 1/ratio",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,10 +8,11 @@ preorder tree headers, and MSB-first bitstreams — bit-for-bit compatible with
 
 Encode runs as batched device kernels (vmapped histogram -> fixed-trip
 two-argmin tree build -> one-hot code extraction -> merge-tree bit packing);
-decode resolves every bit position with one-hot LUT lookups and recovers the
-codeword chain with a linear boolean recurrence in a Pallas kernel (see
-ops/decode_v2.py).  Blocks are fully independent (the format's latent
-parallelism axis) and shard data-parallel over a ``jax.sharding.Mesh``.
+decode resolves every bit position with a cascade of hardware lane-permute
+table lookups and recovers the codeword chain with a linear boolean
+recurrence, both Pallas kernels (see ops/decode_v3.py).  Blocks are fully
+independent (the format's latent parallelism axis) and shard data-parallel
+over a ``jax.sharding.Mesh``.
 """
 
 from .errors import (

@@ -8,7 +8,7 @@ a sequential chain.  This decoder breaks the chain speculatively:
      high bytes, tree_length in range — true block starts always match,
      false positives are rare and merely waste speculative work).
   2. All candidates are decoded in parallel on the device
-     (ops/decode_v2.py), each yielding its symbols, its consumed payload
+     (ops/decode_v3.py), each yielding its symbols, its consumed payload
      size, and error flags.
   3. The true chain is resolved on the host by following consumed sizes from
      offset 0; any gap (missed candidate, flagged block, adversarial stream)
@@ -34,18 +34,15 @@ from .format import (
 )
 from . import native
 from .ops import hostref
-from .ops import decode_v2 as ddec
+from .ops import decode_v3 as ddec
 from .utils.trace import annotate
 
 # Device batch sizing: total bit positions per dispatch (~16 MiB payload).
 _POSITION_BUDGET = 1 << 27
-_NT = 1027  # tree node slots: up to 1025 preorder nodes + root pad + trap
-# Static max-code-length buckets (jit cache keys); > 32 falls back to host.
-_MAXL_BUCKETS = (12, 16, 20, 26, 32)
 
-# Distinct device-kernel shapes dispatched so far: (B, NP, OUTW, MAXL).
+# Distinct device-kernel shapes dispatched so far: (B, NP, OUTW, NS).
 # The bucket scheme bounds the product — B and OUTW are pow2-bucketed, NP
-# is pow2 in [512, 2^21], MAXL one of five values — and the bench reports
+# is pow2 in [4096, 2^21], NS one of six values — and the bench reports
 # len(compile_keys()) so jit-cache pressure is measured, not guessed.
 _COMPILE_KEYS: set[tuple[int, int, int, int]] = set()
 
@@ -62,22 +59,18 @@ def _bucket(n: int, lo: int) -> int:
     return b
 
 
-_PAD_TREE_CACHE = None
+# Padding-lane resolve table: every entry terminal-and-bad, so padding
+# lanes resolve len 0 everywhere, their chains stall, and no real work
+# happens; the driver never reads padding-lane results.
+_PAD_TABLE = None
 
 
-def _pad_tree() -> np.ndarray:
-    """(NT_PAD,) packed node row for padding blocks: every step traps, so
-    the LUT marks all windows corrupt and min code length stays 64 (no
-    spurious dense_ovf flags from padding lanes)."""
-    global _PAD_TREE_CACHE
-    if _PAD_TREE_CACHE is None:
-        trap = _NT - 1
-        _PAD_TREE_CACHE = np.full(
-            ddec.NT_PAD,
-            np.uint32(trap) | (np.uint32(trap) << 11) | (np.uint32(257) << 22),
-            np.uint32,
-        )
-    return _PAD_TREE_CACHE
+def _pad_table() -> np.ndarray:
+    global _PAD_TABLE
+    if _PAD_TABLE is None:
+        _PAD_TABLE = np.full((native.TAB_ROWS, 128), (1 << 15) | (1 << 14),
+                             np.int32)
+    return _PAD_TABLE
 
 
 class _Candidate:
@@ -97,43 +90,13 @@ class _Candidate:
         self.result = None  # (symbols bytes, consumed payload bytes)
 
 
-def _tree_arrays(tree_i16: np.ndarray):
-    """Deserialize + flatten to the packed (NT,) uint32 node table
-    (left(11) | right(11) | symcode(9); symcode 0..255 = leaf symbol,
-    256 = internal, 257 = trap); returns None for an empty tree, else
-    (packed, depth)."""
-    left, right, index, root = deserialize_tree(tree_i16)
-    n = len(left)
-    if root < 0:
-        return None
-    trap = _NT - 1
-    L = np.full(_NT, trap, np.uint32)
-    R = np.full(_NT, trap, np.uint32)
-    SC = np.full(_NT, 257, np.uint32)  # trap marker everywhere unused
-    L[:n] = np.where(left >= 0, left, trap).astype(np.uint32)
-    R[:n] = np.where(right >= 0, right, trap).astype(np.uint32)
-    is_leaf = (left < 0) & (right < 0)
-    SC[:n] = np.where(is_leaf, index & 0xFF, 256).astype(np.uint32)
-    packed = L | (R << 11) | (SC << 22)
-    # Depth via iterative preorder over child pointers.
-    depth = 0
-    stack = [(root, 0)]
-    while stack:
-        node, d = stack.pop()
-        depth = max(depth, d)
-        if left[node] >= 0:
-            stack.append((int(left[node]), d + 1))
-        if right[node] >= 0:
-            stack.append((int(right[node]), d + 1))
-    return packed, depth
-
-
 def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
-    """Speculatively decode eligible candidates in batches on the device."""
-    import jax.numpy as jnp
+    """Speculatively decode eligible candidates in batches on the device.
 
-    # Pre-filter, then deserialize all candidate trees in one native batch
-    # call (python recursion per block is the host bottleneck otherwise).
+    The device path needs the native table builder (native
+    build_decode_tables); without a toolchain every candidate takes the
+    host-exact walk instead — slower, never incorrect.
+    """
     pending = []
     for c in cands:
         if c.n_sym == 0:
@@ -146,35 +109,34 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             continue
         pending.append(c)
 
-    packed_all = depths_all = counts_all = None
-    if pending and native.available():
-        bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in pending])
-        lens = np.array([len(c.tree) for c in pending], np.int32)
-        offs = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
-        packed_all, counts_all, depths_all = native.deserialize_trees(
-            bufs, offs, lens
-        )
+    if not pending:
+        return
+    if not native.available():
+        for c in pending:
+            c.fallback = True
+        return
+
+    bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in pending])
+    lens = np.array([len(c.tree) for c in pending], np.int32)
+    offs = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+    tables_all, nstages_all, mindep_all, maxdep_all = (
+        native.build_decode_tables(bufs, offs, lens)
+    )
 
     eligible = []
     for i, c in enumerate(pending):
-        if packed_all is not None:
-            if counts_all[i] < 0:
-                # NULL root with symbols to restore: reference NULL-derefs;
-                # we raise BTREE_CORRUPTED (SURVEY.md §7 item 8).
-                c.error = BtreeCorruptedError
-                continue
-            packed, depth = packed_all[i], int(depths_all[i])
-        else:
-            t = _tree_arrays(c.tree)
-            if t is None:
-                c.error = BtreeCorruptedError
-                continue
-            packed, depth = t
-        if depth > ddec.MAX_WALK or depth < 2:
-            # Deeper than the device ceiling, or a tree admitting 1-bit
-            # codes (single-symbol / crafted): host-exact path.
+        ns = int(nstages_all[i])
+        if ns == -2:
+            # NULL root with symbols to restore: reference NULL-derefs;
+            # we raise BTREE_CORRUPTED (SURVEY.md §7 item 8).
+            c.error = BtreeCorruptedError
+            continue
+        if ns < 0:
+            # 1-bit codes, over-capacity state cuts, or depth > 26
+            # (crafted trees): host-exact path.
             c.fallback = True
             continue
+        depth = int(maxdep_all[i])
         # Sound payload upper bound: every code is <= depth bits, so this
         # block consumes at most ceil(n_sym*depth/8) payload bytes.  Sizing
         # buffers by this (not by the remaining stream) keeps batches
@@ -185,20 +147,20 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             # minimum of the chain kernel: host/native path.
             c.fallback = True
             continue
-        eligible.append((c, packed, cap, depth))
+        eligible.append((c, tables_all[i], cap, ns))
 
     for plan in _build_plans(data, eligible):
         with annotate("huff.decode.device"):
-            out, end_bit, corrupt, bad_bit, flags = _run_plan(plan)
+            out, end_bit, corrupt, bad_bit = _run_plan(plan)
             out_h = np.asarray(out)
         _apply_plan_results(
             plan, out_h, np.asarray(end_bit), np.asarray(corrupt),
-            np.asarray(bad_bit), np.asarray(flags[0]), np.asarray(flags[1]),
+            np.asarray(bad_bit),
         )
 
 
 class _Plan:
-    __slots__ = ("w32", "trees", "n_sym", "NP", "OUTW", "maxl", "batch")
+    __slots__ = ("words", "tables", "n_sym", "NP", "OUTW", "ns", "batch")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -211,63 +173,96 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
     plans = []
     i = 0
     while i < len(eligible):
-        # Greedy batch under the position budget.
-        P = _bucket(eligible[i][2] + 8, 64)  # +8: off-the-end slack
+        # Greedy batch under the position budget.  P >= 512 keeps the
+        # resolve kernel's word rows whole (128 words/row).
+        P = _bucket(eligible[i][2] + 8, 512)
         NP = 8 * P
         B = max(1, _POSITION_BUDGET // NP)
         batch = eligible[i : i + B]
-        while _bucket(batch[-1][2] + 8, 64) != P and len(batch) > 1:
+        while _bucket(batch[-1][2] + 8, 512) != P and len(batch) > 1:
             batch.pop()
         i += len(batch)
         B = _bucket(len(batch), 16)
-        W = NP // 32
-        words = np.zeros((B, W * 4), np.uint8)
-        trees = np.tile(_pad_tree(), (B, 1))
+        W = P // 4  # u32 payload words
+        wbytes = np.zeros((B, 4 * (W + 128)), np.uint8)
+        tables = np.tile(_pad_table(), (B, 1, 1))
         n_sym = np.ones(B, np.int32)
         max_sym = 1
-        maxl = _MAXL_BUCKETS[0]
-        for b, (c, packed, cap, depth) in enumerate(batch):
+        ns = 0
+        for b, (c, tab, cap, cns) in enumerate(batch):
             seg = data[c.payload_off : c.payload_off + min(cap, P)]
-            words[b, : len(seg)] = seg
-            trees[b, :_NT] = packed
+            wbytes[b, : len(seg)] = seg
+            tables[b] = tab
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
-            maxl = max(maxl, depth)
-        for m in _MAXL_BUCKETS:
-            if maxl <= m:
-                maxl = m
-                break
-        wview = words.reshape(B, W, 4).astype(np.uint32)
-        w32 = (
-            (wview[:, :, 0] << 24) | (wview[:, :, 1] << 16)
-            | (wview[:, :, 2] << 8) | wview[:, :, 3]
-        )
+            ns = max(ns, cns)
+        wv = wbytes.reshape(B, W + 128, 4).astype(np.uint32)
+        words = (
+            (wv[:, :, 0] << 24) | (wv[:, :, 1] << 16)
+            | (wv[:, :, 2] << 8) | wv[:, :, 3]
+        ).reshape(B, (W + 128) // 128, 128)
         OUTW = _bucket(max_sym, 512) // 4
-        plans.append(_Plan(w32=w32, trees=trees, n_sym=n_sym, NP=NP,
-                           OUTW=OUTW, maxl=maxl, batch=batch))
+        plans.append(_Plan(words=words, tables=tables, n_sym=n_sym, NP=NP,
+                           OUTW=OUTW, ns=ns, batch=batch))
     return plans
 
 
 def _run_plan(plan: _Plan):
     import jax.numpy as jnp
 
-    _COMPILE_KEYS.add((plan.w32.shape[0], plan.NP, plan.OUTW, plan.maxl))
+    _COMPILE_KEYS.add((plan.words.shape[0], plan.NP, plan.OUTW, plan.ns))
     return ddec.decode_blocks(
-        jnp.asarray(plan.w32), jnp.asarray(plan.trees),
-        jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.maxl,
+        jnp.asarray(plan.words), jnp.asarray(plan.tables),
+        jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.ns,
     )
 
 
-def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h, esc_ovf, dense_ovf):
-    if bool(esc_ovf):
-        # Escape-compaction overflow (adversarial windows): host path.
-        for c, *_ in plan.batch:
-            c.fallback = True
-        return
-    for b, (c, *_rest) in enumerate(plan.batch):
-        if dense_ovf[b]:
-            c.fallback = True  # 1-bit codes slipped past depth check
+def build_device_plans(enc: bytes):
+    """Device decode plans for a whole stream (bench/profiling entry).
+
+    Runs the same host-side preparation the decoder does — candidate scan,
+    header parse, native table build, eligibility, batching — and returns
+    (plans, n_out): the shape-homogeneous device batches plus the total
+    output byte count they cover.
+    """
+    buf = np.frombuffer(enc, np.uint8)
+    offs = find_candidate_headers(buf)
+    mv = memoryview(enc)
+    cands = []
+    for off in offs.tolist():
+        try:
+            hdr = parse_block_header(mv, off)
+        except Exception:
             continue
+        avail = len(enc) - hdr.payload_off
+        if avail < 0 or hdr.n_sym == 0 or hdr.n_sym > 8 * avail:
+            continue
+        cands.append(_Candidate(off, hdr.n_sym, np.asarray(hdr.tree),
+                                hdr.payload_off, avail))
+    if not cands:
+        return [], 0
+    bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in cands])
+    lens = np.array([len(c.tree) for c in cands], np.int32)
+    offs2 = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+    tables_all, nstages_all, _mindep, maxdep_all = (
+        native.build_decode_tables(bufs, offs2, lens)
+    )
+    eligible = []
+    n_out = 0
+    for i, c in enumerate(cands):
+        ns = int(nstages_all[i])
+        if ns < 0:
+            continue
+        cap = min(c.avail, (c.n_sym * int(maxdep_all[i]) + 7) // 8)
+        if cap > (1 << 18):
+            continue
+        eligible.append((c, tables_all[i], cap, ns))
+        n_out += c.n_sym
+    return _build_plans(buf, eligible), n_out
+
+
+def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h):
+    for b, (c, *_rest) in enumerate(plan.batch):
         if cor_h[b]:
             # Read-then-step precedence (decoder.c:52-71): a failing bit
             # beyond the available payload is a short read, not

@@ -59,6 +59,8 @@ def _lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64)]
     lib.walk_progress_resume.restype = ctypes.c_int32
+    lib.build_decode_tables_batch.argtypes = [
+        i16p, i64p, i32p, ctypes.c_int32, i32p, i32p, i32p, i32p]
     return lib
 
 
@@ -118,6 +120,30 @@ def scan_stream(data: np.ndarray, decode: bool = False, out_cap: int = 0,
         ctypes.byref(blocks), max_blocks,
     )
     return err, consumed.value, produced.value, blocks.value, out
+
+
+TAB_ROWS = 20  # 8 (LUT10) + 8 (stage 1: 64 states x 4 bits) + 4 tail stages
+MAX_TABLE_DEPTH = 26  # 10 + 4 + 4*3; deeper codes -> host-exact fallback
+
+
+def build_decode_tables(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Concatenated int16 wire trees -> per-block resolve tables.
+
+    Returns (tables[B, TAB_ROWS, 128] int32, nstages[B], mindepth[B],
+    maxdepth[B]); nstages -1 marks host-fallback blocks (bad root, 1-bit
+    codes, over-capacity state cuts, or depth > MAX_TABLE_DEPTH)."""
+    B = len(offs)
+    tables = np.empty((B, TAB_ROWS, 128), np.int32)
+    nstages = np.empty(B, np.int32)
+    mindep = np.empty(B, np.int32)
+    maxdep = np.empty(B, np.int32)
+    _lib().build_decode_tables_batch(
+        np.ascontiguousarray(bufs, np.int16),
+        np.ascontiguousarray(offs, np.int64),
+        np.ascontiguousarray(lens, np.int32),
+        B, tables, nstages, mindep, maxdep,
+    )
+    return tables, nstages, mindep, maxdep
 
 
 def walk_progress(tree: np.ndarray, payload: np.ndarray, n_sym: int) -> int:

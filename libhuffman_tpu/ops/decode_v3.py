@@ -1,0 +1,428 @@
+"""Batched TPU decode v3: lane-permute resolve + fused chain/emission.
+
+Replaces decode_v2's one-hot-MXU resolve (measured 0.3 G positions/s — the
+(B, N, T1*K) f32 masked-reduce temporaries made it HBM-bound) with Pallas
+kernels built on the VPU's dynamic lane permute, measured at ~146 G
+lookups/s for 128-wide tables (bench/probe_r3e.py):
+
+  kernel 1  resolve_blocks — for EVERY bit position p of every block,
+            the (length, symbol | bad, fail) of the codeword starting at p:
+              windows     built in-VMEM from the payload words (no
+                          materialized (B, 32*W) u32 window tensor),
+              resolution  a cascade of 128-wide permute lookups over
+                          host-built tables (native build_decode_tables):
+                          LUT10 (8 chunks) -> 64-state x 4-bit stage
+                          (8 chunks) -> up to four 16-state x 3-bit tail
+                          stages; covers code depth <= 26 uniformly — no
+                          escape compaction, no device LUT build.
+  kernel 2  chain_emit — the linear boolean recurrence
+              is_start(p) = OR_l is_start(p-l) & (len(p-l) == l)
+            sequential over positions (the true data dependency,
+            reference src/decoder.c:34-96), blocks across vector lanes;
+            fused with group emission: every 8 positions pack their
+            started symbols into one big-endian word + count, so the
+            XLA emission tree starts at payload granularity instead of
+            re-reading (B, NP) start/symbol planes.
+
+Final emission = pack_tree merge tree over the group words (capacity
+clamped to the output budget); bookkeeping (end bit, corrupt precedence,
+short reads) reproduces decoder.c:52-91 exactly as in v2.
+
+Blocks whose trees the table builder rejects (no root, 1-bit codes,
+over-capacity state cuts, depth > 26) never reach these kernels — the
+driver routes them to the host-exact walk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pack_tree
+
+TAB_ROWS = 20
+# Resolve-depth buckets: NS lookup stages beyond LUT10 cover depth
+# MAXL_OF_NS[NS]; NS is the static jit key (6 variants).
+MAXL_OF_NS = (10, 14, 17, 20, 23, 26)
+
+_DONE = 1 << 15
+_BAD = 1 << 14
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# --------------------------------------------------------------------------
+# Kernel 1: per-position resolve
+# --------------------------------------------------------------------------
+
+_RW_MAX = 8  # word rows per tile: 8*128 words = 32768 positions per step
+
+
+def _permute128(row, idx):
+    """idx-th entry of a (1, 128) table row, per lane: the hardware lane
+    permute (take_along_axis over a broadcast row)."""
+    tab = jnp.broadcast_to(row, idx.shape)
+    return jnp.take_along_axis(tab, idx, axis=-1)
+
+
+def _lookup1024(rows, idx):
+    """1024-entry lookup composed from 8 permutes + a chunk select."""
+    lo = idx & 127
+    hi = idx >> 7
+    out = jnp.zeros_like(idx)
+    for c in range(8):
+        g = _permute128(rows[c], lo)
+        out = jnp.where(hi == c, g, out)
+    return out
+
+
+def _resolve_kernel_body(NS: int, WR: int, RW: int):
+    def kernel(words_ref, tab_ref, meta_ref):
+        lut10 = [tab_ref[0, c:c + 1, :] for c in range(8)]  # (1, 128) rows
+        s1 = [tab_ref[0, 8 + c:9 + c, :] for c in range(8)]
+        tail = [tab_ref[0, 16 + k:17 + k, :] for k in range(4)]
+
+        def tile(t, _):
+            w = words_ref[0, pl.ds(t * RW, RW), :]
+            wx = words_ref[0, pl.ds(t * RW, RW + 1), :]
+            rolled = jnp.roll(w, -1, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (RW, 128), 1)
+            nxt_col = jnp.broadcast_to(wx[1:, 0:1], (RW, 128))
+            wn = jnp.where(lane == 127, nxt_col, rolled)
+
+            def phase(s, _):
+                su = s.astype(jnp.uint32)
+                # (wn >> 1) >> (31 - s) instead of wn >> (32 - s): the
+                # s == 0 case would shift by 32 (undefined).
+                win = (w << su) | ((wn >> 1) >> (jnp.uint32(31) - su))
+                idx10 = (win >> jnp.uint32(22)).astype(jnp.int32)
+                e = _lookup1024(lut10, idx10)
+                if NS >= 1:
+                    idx2 = ((e & 63) << 4) | (
+                        (win >> jnp.uint32(18)) & 15
+                    ).astype(jnp.int32)
+                    e2 = _lookup1024(s1, idx2)
+                    e = jnp.where(e & _DONE != 0, e, e2)
+                for k in range(2, NS + 1):
+                    shift = jnp.uint32(15 - 3 * (k - 2))
+                    bits3 = ((win >> shift) & 7).astype(jnp.int32)
+                    ek = _permute128(tail[k - 2], ((e & 15) << 3) | bits3)
+                    e = jnp.where(e & _DONE != 0, e, ek)
+                # meta byte planes: len | sym << 8 | (bad << 7 | fail) << 16
+                bad = (e & _BAD) != 0
+                lnf = (e >> 8) & 63
+                sym = e & 255
+                ln = jnp.where(bad, 0, lnf)
+                bf = jnp.where(bad, 128 + lnf, 0)
+                meta = (ln | (sym << 8) | (bf << 16)).astype(jnp.uint32)
+                meta_ref[0, s, pl.ds(t * RW, RW), :] = meta
+                return 0
+
+            jax.lax.fori_loop(0, 32, phase, 0)
+            return 0
+
+        jax.lax.fori_loop(0, WR // RW, tile, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
+    """Per-position codeword metadata for a block batch.
+
+    words:  (B, WR + 1, 128) u32 big-endian payload words, the last row
+            zero padding (windows read one word ahead).
+    tables: (B, TAB_ROWS, 128) i32 resolve tables (native build).
+    NS:     static lookup-stage count; codes <= MAXL_OF_NS[NS] bits.
+
+    Returns meta (B, 32, WR, 128) u32 in s-plane layout — the entry for
+    position p = 32 * w + s of block b is meta[b, s, w // 128, w % 128],
+    packed len(8) | sym(8) << 8 | (bad << 7 | fail(6)) << 16.
+    """
+    B, WRp1, _ = words.shape
+    WR = WRp1 - 1
+    RW = min(_RW_MAX, WR)
+    assert WR % RW == 0, WR
+    return pl.pallas_call(
+        _resolve_kernel_body(NS, WR, RW),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, WRp1, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TAB_ROWS, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32, WR, 128), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 32, WR, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(words, tables)
+
+
+# --------------------------------------------------------------------------
+# Kernel 2: chain recurrence + fused group emission
+# --------------------------------------------------------------------------
+
+SP = 512  # positions per grid step
+
+
+def _chain_kernel_body(MAXL: int, SB: int):
+    def kernel(len_ref, sym_ref, start_ref, gw_ref, gc_ref, st_ref, lw_ref):
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            st_ref[0] = jnp.zeros((SB, 128), jnp.uint32)
+            for l in range(MAXL):
+                lw_ref[l] = jnp.zeros((SB, 128), jnp.int32)
+
+        st0 = st_ref[0]
+        lw0 = tuple(lw_ref[l] for l in range(MAXL))
+
+        def stripe(j, carry):
+            st = carry[0]
+            lw = carry[1:]
+            word = st & 0  # u32 zeros with a concrete layout
+            gw = st & 0
+            gc = jnp.zeros((SB, 128), jnp.int32)
+            for t in range(32):
+                new = st & 0
+                for l in range(1, MAXL + 1):
+                    m = (lw[l - 1] == l).astype(jnp.uint32)
+                    new = new | (((st >> (l - 1)) & 1) & m)
+                if t == 0:
+                    # is_start(0) = 1: the chain starts at bit 0
+                    # (reference src/decoder.c:34).
+                    new = jnp.where(first & (j == 0), jnp.uint32(1), new)
+                word = word | (new << t)
+                sym = sym_ref[32 * j + t].astype(jnp.uint32)
+                shift = (jnp.uint32(24) - (gc.astype(jnp.uint32) << 3)) & 31
+                gw = jnp.where(new == 1, gw | (sym << shift), gw)
+                gc = gc + new.astype(jnp.int32)
+                if t % 8 == 7:
+                    gw_ref[4 * j + t // 8] = gw
+                    gc_ref[4 * j + t // 8] = gc
+                    gw = st & 0
+                    gc = jnp.zeros((SB, 128), jnp.int32)
+                lnp = len_ref[32 * j + t]
+                st = (st << 1) | new
+                lw = (lnp,) + lw[:-1]
+            start_ref[j] = word
+            return (st,) + lw
+
+        carry = jax.lax.fori_loop(0, SP // 32, stripe, (st0,) + lw0)
+        st_ref[0] = carry[0]
+        for l in range(MAXL):
+            lw_ref[l] = carry[1 + l]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def chain_emit(len_t: jax.Array, sym_t: jax.Array, MAXL: int):
+    """is_start bits + per-8-position emission groups for every block.
+
+    len_t/sym_t: (NP, B) u8/u8 position-major code lengths and symbols
+    (B a multiple-of-128 lane count after padding).  Returns
+      start (NP // 32, B) u32  — bit t of word w = is_start(32w + t),
+      gw    (NP // 8, B) u32   — started symbols of the group, big-endian,
+      gc    (NP // 8, B) i32   — started-symbol count of the group.
+
+    Sequential over positions within a block (the true dependency of
+    reference src/decoder.c:34-96), blocks across vector lanes; chain
+    state = one u32 window + MAXL lag registers per lane.
+    """
+    NP, B = len_t.shape
+    assert NP % SP == 0, (NP, B)
+    B_pad = -(-B // 128) * 128
+    if B_pad != B:
+        len_t = jnp.pad(len_t, ((0, 0), (0, B_pad - B)))
+        sym_t = jnp.pad(sym_t, ((0, 0), (0, B_pad - B)))
+    SB = B_pad // 128
+    grid = NP // SP
+    kernel = _chain_kernel_body(MAXL, SB)
+    start, gw, gc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((SP, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((SP // 32, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, SB, 128), jnp.uint32),
+            pltpu.VMEM((MAXL, SB, 128), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(len_t.astype(jnp.int32).reshape(NP, SB, 128),
+      sym_t.astype(jnp.int32).reshape(NP, SB, 128))
+    return (start.reshape(NP // 32, B_pad)[:, :B],
+            gw.reshape(NP // 8, B_pad)[:, :B],
+            gc.reshape(NP // 8, B_pad)[:, :B])
+
+
+# --------------------------------------------------------------------------
+# Emission + bookkeeping (XLA)
+# --------------------------------------------------------------------------
+
+def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int):
+    """Concatenate per-group byte strings through the merge tree."""
+    strings, glens = pack_tree._soa_levels(gw, gc * 8, 3)
+    words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
+    if words.shape[1] < OUTW:
+        words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
+    out = jnp.stack(
+        [(words >> 24), (words >> 16), (words >> 8), words], axis=-1
+    ).astype(jnp.uint8).reshape(gw.shape[0], 4 * OUTW)
+    return out
+
+
+def _gather_rows_small(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """(B, N) per-block scalar pick — B lookups, cold path."""
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
+    """Decode a batch of blocks.
+
+    words:  (B, NP // 4096 + 1, 128) u32 padded big-endian payload words;
+    tables: (B, TAB_ROWS, 128) i32 resolve tables; n_sym: (B,) symbols to
+    restore.  NP: static bit-position count (multiple of 32768); OUTW:
+    static output u32 words per block (4*OUTW >= max n_sym); NS: static
+    lookup-stage bucket (codes <= MAXL_OF_NS[NS] bits).
+
+    Returns (out, end_bit, corrupt, bad_bit):
+      out (B, 4*OUTW) u8 — decoded bytes, valid through n_sym[b],
+      end_bit (B,) i32  — exclusive bit offset after the last symbol
+                          (NP when the chain dies early: short read),
+      corrupt (B,) bool — chain hit a missing child within n_sym symbols,
+      bad_bit (B,) i32  — global bit index of the failing bit.
+    """
+    B = words.shape[0]
+    WR = NP // 4096  # NP/32 words / 128 lanes
+    meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128)
+    meta = jax.lax.optimization_barrier(meta)
+    mflat = meta.reshape(B, 32, WR * 128)
+
+    # Position-major planes: p = 32w + s -> transpose (B, 32, W) axes.
+    ln_pm = (mflat & 0xFF).astype(jnp.uint8)
+    sym_pm = ((mflat >> 8) & 0xFF).astype(jnp.uint8)
+    bf_pm = ((mflat >> 16) & 0xFF).astype(jnp.uint8)
+    len_t = jnp.transpose(ln_pm, (2, 1, 0)).reshape(NP, B)
+    sym_t = jnp.transpose(sym_pm, (2, 1, 0)).reshape(NP, B)
+
+    MAXL = MAXL_OF_NS[NS]
+    start_w, gw_t, gc_t = chain_emit(len_t, sym_t, MAXL)
+    start_w = jax.lax.optimization_barrier(start_w)
+    gw = gw_t.T  # (B, NG)
+    gc = gc_t.T
+
+    out = _emit_groups(gw, gc, OUTW)
+
+    # --- bookkeeping (reference decoder.c:52-91 semantics) ---
+    bit_iota = jax.lax.broadcasted_iota(jnp.uint32, (NP // 32, 32), 1)
+    start = (
+        ((start_w.T[:, :, None] >> bit_iota[None]) & 1).astype(bool)
+    ).reshape(B, NP)
+    start = jax.lax.optimization_barrier(start)
+    lni = jnp.transpose(ln_pm.astype(jnp.int32), (0, 2, 1)).reshape(B, NP)
+    bf = jnp.transpose(bf_pm.astype(jnp.int32), (0, 2, 1)).reshape(B, NP)
+
+    grank = jnp.cumsum(gc, axis=1)  # inclusive, per block
+    total = grank[:, -1]
+    reached = total >= n_sym
+    g_star = jnp.argmax(grank >= n_sym[:, None], axis=1).astype(jnp.int32)
+    g_star = jnp.where(reached, g_star, 0)
+    before = jnp.where(
+        g_star > 0,
+        _gather_rows_small(grank, jnp.maximum(g_star - 1, 0)),
+        0,
+    )
+    k = n_sym - before  # 1-based rank within the group, in [1, 4]
+    sg = jnp.stack(
+        [_gather_rows_small(start.reshape(B, NP // 8, 8)[:, :, j], g_star)
+         for j in range(8)], axis=1
+    ).astype(jnp.int32)  # (B, 8)
+    lg = jnp.stack(
+        [_gather_rows_small(lni.reshape(B, NP // 8, 8)[:, :, j], g_star)
+         for j in range(8)], axis=1
+    )
+    csg = jnp.cumsum(sg, axis=1)
+    hit = (csg == k[:, None]) & (sg == 1)
+    j_star = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    p_star = g_star * 8 + j_star
+    l_star = jnp.take_along_axis(lg, j_star[:, None], axis=1)[:, 0]
+    end_bit = jnp.where(reached, p_star + l_star, NP)
+
+    # corrupt: first bad start within the first n_sym codewords
+    badp = (bf >= 128) & start
+    anybad = jnp.any(badp, axis=1)
+    fb = jnp.argmax(badp, axis=1).astype(jnp.int32)
+    gfb = fb // 8
+    before_fb = jnp.where(
+        gfb > 0, _gather_rows_small(grank, jnp.maximum(gfb - 1, 0)), 0
+    )
+    sgf = jnp.stack(
+        [_gather_rows_small(start.reshape(B, NP // 8, 8)[:, :, j], gfb)
+         for j in range(8)], axis=1
+    ).astype(jnp.int32)
+    jfb = fb - gfb * 8
+    rank_fb = before_fb + jnp.sum(
+        jnp.where(jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+                  <= jfb[:, None], sgf, 0), axis=1
+    )
+    corrupt = anybad & (rank_fb <= n_sym)
+    fail_off = _gather_rows_small(bf & 63, fb)
+    bad_bit = fb + fail_off
+    return out, end_bit, corrupt, bad_bit
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
+                         upto: int):
+    """Profiling ablation: the decode pipeline truncated after stage ``upto``
+    (1=resolve, 2=+chain/emit-groups, 3=+emission tree, 4=full incl.
+    bookkeeping), reduced to a checksum.  BENCH_PHASES=1 drives this."""
+    u32 = jnp.uint32
+    B = words.shape[0]
+    WR = NP // 4096
+    meta = jax.lax.optimization_barrier(resolve_blocks(words, tables, NS))
+    if upto == 1:
+        return jnp.sum(meta)
+    mflat = meta.reshape(B, 32, WR * 128)
+    len_t = jnp.transpose((mflat & 0xFF).astype(jnp.uint8), (2, 1, 0)
+                          ).reshape(NP, B)
+    sym_t = jnp.transpose(((mflat >> 8) & 0xFF).astype(jnp.uint8), (2, 1, 0)
+                          ).reshape(NP, B)
+    start_w, gw_t, gc_t = chain_emit(len_t, sym_t, MAXL_OF_NS[NS])
+    if upto == 2:
+        return (jnp.sum(start_w) + jnp.sum(gw_t)
+                + jnp.sum(gc_t.astype(u32)))
+    out = _emit_groups(gw_t.T, gc_t.T, OUTW)
+    if upto == 3:
+        return jnp.sum(out.astype(u32))
+    res = decode_blocks(words, tables, n_sym, NP, OUTW, NS)
+    out, end_bit, corrupt, bad_bit = res
+    return (jnp.sum(out.astype(u32)) + jnp.sum(end_bit.astype(u32))
+            + jnp.sum(corrupt.astype(u32)) + jnp.sum(bad_bit.astype(u32)))

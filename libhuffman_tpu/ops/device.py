@@ -62,7 +62,12 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
     B, N = blocks.shape
     hi = (blocks >> 4).astype(jnp.int32)
     lo = (blocks & 15).astype(jnp.int32)
-    nib = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+    # One-hots are built (B, 16, chunk) — nibble axis in the middle — so the
+    # minor (lane) axis is the long chunk axis.  The previous (B, chunk, 16)
+    # form put 16 on lanes, which XLA pads to the 128-lane tile: an 8x
+    # memory bloat that made the histogram HBM-bound (measured 22.6 ms for
+    # a 16.8 MB batch; see PERF.md §4).
+    nib = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
 
     if N % chunk:
         chunk = N  # small inputs: single chunk
@@ -70,12 +75,12 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
 
     def step(acc, xs):
         hi_c, lo_c = xs  # (B, chunk) each
-        oh_hi = (hi_c[:, :, None] == nib).astype(jnp.bfloat16)
-        oh_lo = (lo_c[:, :, None] == nib).astype(jnp.bfloat16)
+        oh_hi = (hi_c[:, None, :] == nib).astype(jnp.bfloat16)
+        oh_lo = (lo_c[:, None, :] == nib).astype(jnp.bfloat16)
         # (B, 16, 16) <- contract over the chunk axis, batched over B.
         cnt = jax.lax.dot_general(
             oh_hi, oh_lo,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return acc + cnt, None
@@ -236,6 +241,85 @@ def symbol_layout(blocks: jax.Array, codes: jax.Array, lens: jax.Array,
     return C, L
 
 
+def _layout_kernel_body(RN: int):
+    import jax.experimental.pallas as pl
+
+    def kernel(blocks_ref, codes_ref, lens_ref, nv_ref, C_ref, L_ref):
+        nv = nv_ref[0]
+        c_rows = [codes_ref[0, r:r + 1, :] for r in range(2)]
+        l_rows = [lens_ref[0, r:r + 1, :] for r in range(2)]
+
+        def tile(t, _):
+            b = blocks_ref[0, pl.ds(t * 8, 8), :].astype(jnp.int32)
+            lo = b & 127
+            hi = b >> 7
+            c = jnp.zeros((8, 128), jnp.uint32)
+            ln = jnp.zeros((8, 128), jnp.int32)
+            for r in range(2):
+                cr = jnp.take_along_axis(
+                    jnp.broadcast_to(c_rows[r], (8, 128)), lo, axis=1)
+                lr = jnp.take_along_axis(
+                    jnp.broadcast_to(l_rows[r], (8, 128)), lo, axis=1)
+                c = jnp.where(hi == r, cr, c)
+                ln = jnp.where(hi == r, lr, ln)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + t * 8
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            pos = row * 128 + lane
+            ln = jnp.where(pos < nv, ln, 0)
+            C_ref[0, pl.ds(t * 8, 8), :] = c
+            L_ref[0, pl.ds(t * 8, 8), :] = ln
+            return 0
+
+        jax.lax.fori_loop(0, RN // 8, tile, 0)
+
+    return kernel
+
+
+def symbol_layout_pallas(blocks: jax.Array, codes: jax.Array,
+                         lens: jax.Array, n_valid: jax.Array):
+    """Per-position (codeword, length) via hardware lane permutes.
+
+    The one-hot-MXU lookup (symbol_layout) materializes a (B, N, T1*K) f32
+    partial per masked reduction — ~320 bytes of HBM traffic per input byte
+    (measured 34.7 ms for a 16.8 MB batch, PERF.md §4).  Here the 256-entry
+    tables sit in VMEM as two 128-lane rows and each byte costs four
+    permutes + selects.  Requires N % 1024 == 0 (whole (8, 128) tiles).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N = blocks.shape
+    RN = N // 128
+    kernel = _layout_kernel_body(RN)
+    C, L = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, RN, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b: (b,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RN, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RN, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, RN, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((B, RN, 128), jnp.int32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(blocks.reshape(B, RN, 128), codes.reshape(B, 2, 128),
+      lens.astype(jnp.int32).reshape(B, 2, 128), n_valid.astype(jnp.int32))
+    return C.reshape(B, N), L.reshape(B, N)
+
+
 def words_to_bytes(words: jax.Array) -> jax.Array:
     """(B, W) big-endian u32 -> (B, 4W) u8 payload bytes."""
     B, W = words.shape
@@ -280,9 +364,14 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
         extract_codes(parent, pbit)
     )
     total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
-    C, L = jax.lax.optimization_barrier(
-        symbol_layout(blocks, codes, lens, n_valid)
-    )
+    N = blocks.shape[1]
+    if N % 1024 == 0:
+        C, L = symbol_layout_pallas(blocks, codes, lens, n_valid)
+        C, L = jax.lax.optimization_barrier((C, L))
+    else:
+        C, L = jax.lax.optimization_barrier(
+            symbol_layout(blocks, codes, lens, n_valid)
+        )
     words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
     return (words_to_bytes(words), total_bits, left, right, root,
             overflow | pack_ovf)
@@ -310,9 +399,14 @@ def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
     )
     if upto == 3:
         return jnp.sum(codes) + jnp.sum(lens.astype(u32))
-    C, L = jax.lax.optimization_barrier(
-        symbol_layout(blocks, codes, lens, n_valid)
-    )
+    if blocks.shape[1] % 1024 == 0:
+        C, L = jax.lax.optimization_barrier(
+            symbol_layout_pallas(blocks, codes, lens, n_valid)
+        )
+    else:
+        C, L = jax.lax.optimization_barrier(
+            symbol_layout(blocks, codes, lens, n_valid)
+        )
     if upto == 4:
         return jnp.sum(C) + jnp.sum(L.astype(u32))
     words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)

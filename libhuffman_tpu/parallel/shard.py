@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format import ASCII_COUNT
 from ..ops import device as dev
-from ..ops import decode_v2 as ddec
+from ..ops import decode_v3 as ddec
 
 
 def block_mesh(devices=None) -> Mesh:
@@ -72,37 +72,32 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     return tuple(np.asarray(r) for r in res)
 
 
-def decode_blocks_sharded(payload_words, tree, n_sym, NP: int, OUTW: int,
-                          MAXL: int, mesh: Mesh):
-    """Sharded batch decode: the v2 kernel (ops/decode_v2.decode_blocks) run
-    per shard under shard_map over the block axis (``tree`` is the packed
-    node table).  The only collective is the OR of the per-shard escape
-    overflow flags."""
+def decode_blocks_sharded(words, tables, n_sym, NP: int, OUTW: int,
+                          NS: int, mesh: Mesh):
+    """Sharded batch decode: the v3 kernels (ops/decode_v3.decode_blocks)
+    run per shard under shard_map over the block axis — blocks are fully
+    independent, so there are no collectives at all."""
     from jax.experimental.shard_map import shard_map
 
-    spec = P("blocks", None)
+    spec3 = P("blocks", None, None)
     vspec = P("blocks")
-    dspec = NamedSharding(mesh, spec)
+    dspec3 = NamedSharding(mesh, spec3)
     dvspec = NamedSharding(mesh, vspec)
 
     def per_shard(w, t, n):
-        out, end_bit, corrupt, bad_bit, (esc, dense) = (
-            ddec.decode_blocks.__wrapped__(w, t, n, NP, OUTW, MAXL)
-        )
-        esc_all = jax.lax.psum(esc.astype(jnp.int32), "blocks") > 0
-        return out, end_bit, corrupt, bad_bit, esc_all, dense
+        return ddec.decode_blocks.__wrapped__(w, t, n, NP, OUTW, NS)
 
     fn = jax.jit(
         shard_map(
             per_shard, mesh=mesh,
-            in_specs=(spec, spec, vspec),
-            out_specs=(spec, vspec, vspec, vspec, P(), vspec),
+            in_specs=(spec3, spec3, vspec),
+            out_specs=(P("blocks", None), vspec, vspec, vspec),
             check_rep=False,  # pallas_call out_shapes carry no replication info
         )
     )
     res = fn(
-        jax.device_put(jnp.asarray(payload_words), dspec),
-        jax.device_put(jnp.asarray(tree), dspec),
+        jax.device_put(jnp.asarray(words), dspec3),
+        jax.device_put(jnp.asarray(tables), dspec3),
         jax.device_put(jnp.asarray(n_sym), dvspec),
     )
     return tuple(np.asarray(r) for r in res)

@@ -222,6 +222,208 @@ int32_t scan_stream(const uint8_t* data, int64_t length,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Decode resolve tables: LUT10 + (64-state x 4-bit) stage + stride-3 tail.
+//
+// The TPU resolve kernel (ops/decode_v3.py) determines, for every bit
+// position, the (length, symbol) of the codeword starting there, using only
+// 128-wide lookups (the hardware lane-permute width; wider tables compose
+// from 128-entry chunks).  Tables per block, 20 rows of 128 int32:
+//
+//   rows 0..7   LUT10:   index = first 10 window bits           (1024)
+//   rows 8..15  stage 1: index = state(6b) << 4 | bits [10,14)  (1024)
+//   rows 16..19 stage k: index = state(4b) << 3 | 3 bits        (128 each)
+//                        covering depth cuts 14, 17, 20, 23 -> max 26
+//
+// Cut capacities follow measured tree shapes (bench/probe_r3 analysis):
+// realistic 64 KiB blocks have <= 64 internal nodes at depth 10 and <= 16
+// at depth 14+; uniform-byte blocks have depth <= 10 entirely.
+//
+// Entry packing (int32):
+//   terminal:  (1 << 15) | bad << 14 | lnfail(6) << 8 | sym(8)
+//              lnfail = code length (bad=0) or the failing bit offset
+//              (bad=1, the bit that stepped into a missing child —
+//              reference read-then-step order, src/decoder.c:58-71).
+//   internal:  state id in the low bits (the walk continues next stage).
+//
+// Over-capacity states or depth > 26 return -1 (host-exact fallback).
+// Returns the number of lookup stages beyond LUT10 (0..5).
+// ---------------------------------------------------------------------------
+static void walk_entry(const uint32_t* nodes, int32_t nt, int32_t start_node,
+                       int32_t base_depth, uint32_t bits, int32_t nbits,
+                       // out:
+                       int32_t* term, int32_t* bad, int32_t* lnfail,
+                       int32_t* sym, int32_t* end_node)
+{
+    int32_t trap = nt - 1;
+    int32_t node = start_node;
+    *term = 0; *bad = 0; *lnfail = 0; *sym = 0;
+    for (int32_t d = 0; d < nbits; ++d) {
+        uint32_t bit = (bits >> (nbits - 1 - d)) & 1;
+        uint32_t nd = nodes[node];
+        int32_t nxt = bit ? (int32_t)((nd >> 11) & 0x7FF) : (int32_t)(nd & 0x7FF);
+        if (nxt == trap) {
+            *term = 1; *bad = 1; *lnfail = base_depth + d;
+            *end_node = trap;
+            return;
+        }
+        uint32_t sc = nodes[nxt] >> 22;
+        if (sc < 256) {
+            *term = 1; *lnfail = base_depth + d + 1; *sym = (int32_t)sc;
+            *end_node = nxt;
+            return;
+        }
+        node = nxt;
+    }
+    *end_node = node;
+}
+
+static const int32_t TAB_ROWS = 20;  // 8 (LUT10) + 8 (stage 1) + 4 (tail)
+
+int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
+                            int32_t* tables)  // [TAB_ROWS * 128]
+{
+    const int32_t DONE = 1 << 15, BAD = 1 << 14;
+    for (int32_t i = 0; i < TAB_ROWS * 128; ++i) tables[i] = DONE | BAD;
+
+    int32_t states[64];  // internal nodes at the current cut
+    int32_t n_states = 0;
+    int32_t next_states[64];
+
+    // LUT10 from the root (rows 0..7).
+    for (uint32_t v = 0; v < 1024; ++v) {
+        int32_t term, bad, lnfail, sym, end;
+        walk_entry(nodes, nt, 0, 0, v, 10, &term, &bad, &lnfail, &sym, &end);
+        if (term) {
+            tables[v] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+        } else {
+            int32_t sid = -1;
+            for (int32_t s = 0; s < n_states; ++s)
+                if (states[s] == end) { sid = s; break; }
+            if (sid < 0) {
+                if (n_states >= 64) return -1;
+                sid = n_states;
+                states[n_states++] = end;
+            }
+            tables[v] = sid;
+        }
+    }
+    if (n_states == 0) return 0;
+
+    // Stage 1 (rows 8..15): 64 states x 4 bits, depth cut 10 -> 14.
+    int32_t n_next = 0;
+    for (int32_t s = 0; s < n_states; ++s) {
+        for (uint32_t v = 0; v < 16; ++v) {
+            int32_t term, bad, lnfail, sym, end;
+            walk_entry(nodes, nt, states[s], 10, v, 4,
+                       &term, &bad, &lnfail, &sym, &end);
+            int32_t idx = 1024 + ((s << 4) | (int32_t)v);
+            if (term) {
+                tables[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+            } else {
+                int32_t sid = -1;
+                for (int32_t t = 0; t < n_next; ++t)
+                    if (next_states[t] == end) { sid = t; break; }
+                if (sid < 0) {
+                    if (n_next >= 16) return -1;
+                    sid = n_next;
+                    next_states[n_next++] = end;
+                }
+                tables[idx] = sid;
+            }
+        }
+    }
+    for (int32_t t = 0; t < n_next; ++t) states[t] = next_states[t];
+    n_states = n_next;
+
+    // Tail stages (rows 16..19): 16 states x 3 bits, cuts 14/17/20/23.
+    int32_t ns = 1;
+    int32_t depth = 14;
+    while (n_states > 0) {
+        if (ns >= 5) return -1;  // depth > 26
+        int32_t* tab = tables + (16 + ns - 1) * 128;
+        n_next = 0;
+        for (int32_t s = 0; s < n_states; ++s) {
+            for (uint32_t v = 0; v < 8; ++v) {
+                int32_t term, bad, lnfail, sym, end;
+                walk_entry(nodes, nt, states[s], depth, v, 3,
+                           &term, &bad, &lnfail, &sym, &end);
+                int32_t idx = (s << 3) | (int32_t)v;
+                if (term) {
+                    tab[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+                } else {
+                    int32_t sid = -1;
+                    for (int32_t t = 0; t < n_next; ++t)
+                        if (next_states[t] == end) { sid = t; break; }
+                    if (sid < 0) {
+                        if (n_next >= 16) return -1;
+                        sid = n_next;
+                        next_states[n_next++] = end;
+                    }
+                    tab[idx] = sid;
+                }
+            }
+        }
+        for (int32_t t = 0; t < n_next; ++t) states[t] = next_states[t];
+        n_states = n_next;
+        depth += 3;
+        ++ns;
+    }
+    return ns;
+}
+
+// Batch: trees packed back-to-back (int16 wire form with offsets/lengths,
+// same inputs as deserialize_trees), one deserialize + table build per
+// block.  Outputs per block: stage count; -1 = host-exact fallback (state
+// overflow or depth outside [2, 26] — mindepth < 2 means a tree admitting
+// 1-bit codes, which the encoder never emits, src/tree.c:410-413);
+// -2 = no root (the reference NULL-derefs; callers raise BTREE_CORRUPTED).
+static void leaf_depths(const uint32_t* nodes, int32_t nt, int32_t node,
+                        int32_t d, int32_t* mind, int32_t* maxd)
+{
+    int32_t trap = nt - 1;
+    uint32_t nd = nodes[node];
+    int32_t l = (int32_t)(nd & 0x7FF), r = (int32_t)((nd >> 11) & 0x7FF);
+    uint32_t sc = nd >> 22;
+    if (sc < 256) {
+        if (d < *mind) *mind = d;
+        if (d > *maxd) *maxd = d;
+        return;
+    }
+    if (l != trap) leaf_depths(nodes, nt, l, d + 1, mind, maxd);
+    if (r != trap) leaf_depths(nodes, nt, r, d + 1, mind, maxd);
+}
+
+void build_decode_tables_batch(const int16_t* bufs, const int64_t* offs,
+                               const int32_t* lens, int32_t B,
+                               int32_t* tables,   // [B, TAB_ROWS, 128]
+                               int32_t* nstages,  // [B]
+                               int32_t* mindep,   // [B]
+                               int32_t* maxdep)   // [B]
+{
+    const int32_t NT = 1027;
+    uint32_t nodes[1027];
+    for (int32_t b = 0; b < B; ++b) {
+        int32_t depth = 0;
+        int32_t cnt = deserialize_tree(bufs + offs[b], lens[b], nodes, NT,
+                                       &depth);
+        int32_t* tab = tables + (int64_t)b * TAB_ROWS * 128;
+        if (cnt < 0) {
+            nstages[b] = -2; mindep[b] = 0; maxdep[b] = 0;
+            continue;
+        }
+        int32_t mind = 1 << 30, maxd = 0;
+        leaf_depths(nodes, NT, 0, 0, &mind, &maxd);
+        mindep[b] = (mind == (1 << 30)) ? 0 : mind;
+        maxdep[b] = maxd;
+        if (mindep[b] < 2 || maxd > 26) {
+            nstages[b] = -1;
+            continue;
+        }
+        nstages[b] = build_decode_tables(nodes, NT, tab);
+    }
+}
+
 // Measure-only variant used by the incremental decompressor: how many
 // symbols does the available payload of a single block yield?
 uint64_t walk_progress(const int16_t* tree, int32_t tree_len,

@@ -88,23 +88,30 @@ def test_decode_matches_reference_on_trailing_block():
     assert dec_mod.decode(e1 + e2) == b"hello worldgoodbye"
 
 
-# --- decode_v2 kernel internals -------------------------------------------
+# --- decode_v3 kernel internals -------------------------------------------
 
-def test_chain_starts_matches_numpy_reference():
-    """The Pallas is_start recurrence against a direct sequential walk."""
+def test_chain_emit_matches_numpy_reference():
+    """The Pallas is_start recurrence + fused group emission against a
+    direct sequential walk."""
     import jax.numpy as jnp
-    from libhuffman_tpu.ops import decode_v2 as ddec
+    from libhuffman_tpu.ops import decode_v3 as ddec
 
     rng = np.random.default_rng(7)
-    NP, B, MAXL = 1024, 3, 12
+    NP, B, MAXL = 1024, 3, 10
     lens = rng.integers(2, MAXL + 1, (B, NP)).astype(np.uint8)
     lens[0, 5] = 0  # a dead position: the chain must stop if it lands here
+    syms = rng.integers(0, 256, (B, NP)).astype(np.uint8)
 
-    got_w = np.asarray(ddec.chain_starts(jnp.asarray(lens.T), MAXL))
+    start_w, gw, gc = ddec.chain_emit(
+        jnp.asarray(lens.T), jnp.asarray(syms.T), MAXL
+    )
+    start_w = np.asarray(start_w)
+    gw = np.asarray(gw).T  # (B, NG)
+    gc = np.asarray(gc).T
     got = np.zeros((B, NP), bool)
     for wi in range(NP // 32):
         for t in range(32):
-            got[:, 32 * wi + t] = (got_w[wi] >> t) & 1
+            got[:, 32 * wi + t] = (start_w[wi] >> t) & 1
 
     for b in range(B):
         expect = np.zeros(NP, bool)
@@ -115,26 +122,70 @@ def test_chain_starts_matches_numpy_reference():
                 break
             p += int(lens[b, p])
         assert np.array_equal(got[b], expect), b
+        for g in range(NP // 8):
+            members = [p for p in range(8 * g, 8 * g + 8) if expect[p]]
+            assert gc[b, g] == len(members), (b, g)
+            w = 0
+            for i, p in enumerate(members):
+                w |= int(syms[b, p]) << (24 - 8 * i)
+            assert gw[b, g] == w, (b, g)
 
 
-def test_emission_packs_starts_in_order():
+def test_resolve_blocks_matches_table_walk():
+    """The Pallas resolve cascade against a direct host table walk."""
     import jax.numpy as jnp
-    from libhuffman_tpu.ops import decode_v2 as ddec
+    from libhuffman_tpu import format as fmt
+    from libhuffman_tpu import native
+    from libhuffman_tpu.ops import decode_v3 as ddec
 
-    rng = np.random.default_rng(8)
-    B, NP, OUTW = 2, 512, 64
-    start = rng.random((B, NP)) < 0.2
-    # enforce the min-code-length-2 invariant the prepack relies on
-    for b in range(B):
-        last = -2
-        for p in range(NP):
-            if start[b, p] and p - last < 2:
-                start[b, p] = False
-            elif start[b, p]:
-                last = p
-    sym = rng.integers(0, 256, (B, NP)).astype(np.uint8)
-    out, cnt = ddec._emit(jnp.asarray(start), jnp.asarray(sym), OUTW)
-    out = np.asarray(out)
-    for b in range(B):
-        expect = sym[b][start[b]]
-        assert np.array_equal(out[b, : len(expect)], expect[: 4 * OUTW]), b
+    if not native.available():
+        pytest.skip("needs the native table builder")
+    rng = np.random.default_rng(9)
+    # A deep-ish tree: fibonacci-like frequencies force multi-stage codes.
+    vals = []
+    a, b = 1, 1
+    for s in range(18):
+        vals += [s] * a
+        a, b = b, a + b
+    data = np.array(vals, np.uint8)
+    blk = hostref.encode_block(data)
+    hdr = __import__("libhuffman_tpu").format.parse_block_header(
+        memoryview(blk), 0)
+    tree = np.asarray(hdr.tree, np.int16)
+    tables, ns, mind, maxd = native.build_decode_tables(
+        tree, np.array([0], np.int64), np.array([len(tree)], np.int32))
+    NS = int(ns[0])
+    assert NS >= 1  # multi-stage by construction
+
+    W = 128
+    payload = rng.integers(0, 1 << 32, W + 128, dtype=np.uint64
+                           ).astype(np.uint32)
+    words = payload.reshape(1, -1, 128)
+    meta = np.asarray(ddec.resolve_blocks(
+        jnp.asarray(words), jnp.asarray(tables), NS))
+    T = tables[0].reshape(-1)
+
+    def table_resolve(w32):
+        e = T[(w32 >> 22) & 1023]
+        k = 1
+        while not (e & (1 << 15)):
+            if k == 1:
+                e = T[1024 + (((e & 63) << 4) | ((w32 >> 18) & 15))]
+            else:
+                bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
+                e = T[(16 + k - 2) * 128 + (((e & 15) << 3) | bits3)]
+            k += 1
+        bad = bool(e & (1 << 14))
+        lnf = (e >> 8) & 63
+        return ((0 if bad else lnf), (e & 255), (128 + lnf if bad else 0))
+
+    flat = payload[:W]
+    for p in rng.integers(0, 32 * W - 32, 200):
+        p = int(p)
+        j, s = p // 32, p % 32
+        w32 = int(flat[j]) << s & 0xFFFFFFFF
+        if s:
+            w32 |= int(payload[j + 1]) >> (32 - s)
+        ln, sym, bf = table_resolve(w32)
+        m = int(meta[0, s, j // 128, j % 128])
+        assert (m & 0xFF, (m >> 8) & 0xFF, (m >> 16) & 0xFF) == (ln, sym, bf), p

@@ -58,14 +58,36 @@ def test_random_vs_oracle(seed):
     assert hostref.decode(got) == data
 
 
-def test_fallback_deep_tree():
-    # Fibonacci frequencies: depth > 32 requires > 3.5 MB in one block, so
-    # craft one smaller but still > MAX_CODE_BITS deep?  Depth d needs
-    # ~Fib(d+2) bytes; Fib(34)=5.7M is the 32-bit threshold — too big for a
-    # quick test, so instead verify the overflow flag path with depth 30
-    # (stays on device) and trust test_hostref for the host path.
+def test_deep_tree_device_path():
+    # Fibonacci frequencies make the deepest trees per byte: 22 symbols
+    # (~17 KB) reach code depth ~20 — well past the resolve-LUT width but
+    # inside the 32-bit device fast path — at a shape CPU tests can jit.
     counts = [1, 1]
-    while len(counts) < 30:
+    while len(counts) < 22:
         counts.append(counts[-1] + counts[-2])
     data = b"".join(bytes([i]) * c for i, c in enumerate(counts))
     _check(data, 0)
+
+
+def test_overflow_flag_on_crafted_histogram():
+    # Depth > MAX_CODE_BITS needs a multi-MB block of real data (Fib(34)
+    # bytes); flag correctness is checked on a crafted histogram instead —
+    # the encode driver re-routes flagged blocks to the host codec.
+    import jax.numpy as jnp
+
+    from libhuffman_tpu.ops import device as dev
+
+    counts = [1, 1]
+    while len(counts) < 40:
+        counts.append(counts[-1] + counts[-2])
+    freqs = np.zeros((1, 512), np.int32)
+    freqs[0, : len(counts)] = counts
+    left, right, parent, pbit, root = dev.build_trees(jnp.asarray(freqs))
+    codes, lens, overflow = dev.extract_codes(parent, pbit)
+    assert bool(np.asarray(overflow)[0])
+
+    shallow = np.zeros((1, 512), np.int32)
+    shallow[0, :4] = [3, 3, 3, 3]
+    left, right, parent, pbit, root = dev.build_trees(jnp.asarray(shallow))
+    codes, lens, overflow = dev.extract_codes(parent, pbit)
+    assert not bool(np.asarray(overflow)[0])
