@@ -58,13 +58,26 @@ def corpus(n_bytes: int) -> bytes:
         if cand and os.path.exists(cand):
             with open(cand, "rb") as f:
                 return f.read(n_bytes)
-    # Deterministic enwik-like text: Zipf-weighted vocabulary.
+    # Deterministic enwik-like text: Zipf-weighted word vocabulary over a
+    # full-width byte alphabet.  enwik8 blocks have ~205 distinct bytes
+    # (letters dominate, then markup/digits, then a long tail of rare
+    # UTF-8 bytes) producing Huffman trees 12-16 deep; a letters-only
+    # corpus gives 27 symbols and depth ~7, which understates decode work
+    # (measured round 3: tree-shape analysis in bench/probe_r3 notes).
     rng = np.random.default_rng(42)
-    vocab = []
     letters = np.frombuffer(b"etaoinshrdlcumwfgypbvkjxqz", np.uint8)
+    markup = np.frombuffer(b"<>/=\"'[]{}|&#;:.,()-_0123456789ABCDEFGHIJKLMN",
+                           np.uint8)
+    vocab = []
     for i in range(4096):
         ln = 1 + int(rng.integers(1, 9))
-        vocab.append(bytes(rng.choice(letters, ln)) + b" ")
+        word = bytes(rng.choice(letters, ln))
+        r = i % 16
+        if r == 13:  # markup-ish token
+            word = bytes(rng.choice(markup, max(2, ln)))
+        elif r == 15:  # rare high-byte (UTF-8-ish) token tail
+            word = bytes(rng.integers(128, 256, 2, dtype=np.uint8).tolist())
+        vocab.append(word + b" ")
     ranks = np.arange(1, 4097, dtype=np.float64)
     probs = (1 / ranks) / (1 / ranks).sum()
     words = rng.choice(4096, size=n_bytes // 5, p=probs)
@@ -147,8 +160,17 @@ def bench_decode_device(enc: bytes, repeat=3):
 
     Timing forces a host transfer of a scalar checksum per repetition —
     block_until_ready can return before execution completes on the axon
-    tunnel (measured; PERF.md section 1)."""
+    tunnel (measured; PERF.md section 1).
+
+    Returns (dev_gbps, n_out, hostdev_gbps): the last number also counts
+    the host-side plan building (candidate scan, header parse, native
+    table build, batch layout) and the final output-byte assembly — i.e.
+    everything a production host would do except the PCIe transfers, which
+    this environment cannot measure honestly (the tunnel is ~0.04 GB/s).
+    """
+    t0 = time.perf_counter()
     plans, n_out = decode_plans(enc)
+    t_plan = time.perf_counter() - t0
     dev_plans = [
         (jax.device_put(jnp.asarray(p.words)),
          jax.device_put(jnp.asarray(p.tables)),
@@ -172,7 +194,28 @@ def bench_decode_device(enc: bytes, repeat=3):
                for (w, t, ns, NP, OW, NS) in dev_plans]
         _ = [np.asarray(a) for a in acc]
         best = min(best, time.perf_counter() - t0)
-    return n_out / best / 1e9, n_out
+
+    # Host-side output assembly, timed on pre-transferred results so only
+    # the tunnel is excluded: apply per-block results + ordered join.
+    import libhuffman_tpu.decode as dec_mod
+
+    host_res = []
+    for p, (w, t, ns, NP, OW, NS) in zip(plans, dev_plans):
+        out, end_bit, corrupt, bad_bit = ddec.decode_blocks(
+            w, t, ns, NP, OW, NS)
+        host_res.append((np.asarray(out), np.asarray(end_bit),
+                         np.asarray(corrupt), np.asarray(bad_bit)))
+    t0 = time.perf_counter()
+    pieces = []
+    for p, (out_h, end_h, cor_h, bad_h) in zip(plans, host_res):
+        dec_mod._apply_plan_results(p, out_h, end_h, cor_h, bad_h)
+        for c, *_rest in p.batch:
+            if c.result is not None:
+                pieces.append(c.result[0])
+    _ = b"".join(pieces)
+    t_asm = time.perf_counter() - t0
+    hostdev = n_out / (best + t_plan + t_asm) / 1e9
+    return n_out / best / 1e9, n_out, hostdev
 
 
 def main():
@@ -211,7 +254,7 @@ def main():
     # Device-resident throughput.
     dbuf = np.frombuffer(data, np.uint8)
     enc_dev_gbps = bench_encode_device(dbuf, bs)
-    dec_dev_gbps, dec_dev_bytes = bench_decode_device(enc)
+    dec_dev_gbps, dec_dev_bytes, dec_hostdev_gbps = bench_decode_device(enc)
     t_enc_dev = n / enc_dev_gbps / 1e9
     t_dec_dev = n / dec_dev_gbps / 1e9 if dec_dev_bytes else float("inf")
     gbps = n / (t_enc_dev + t_dec_dev) / 1e9
@@ -269,6 +312,7 @@ def main():
             "bytes": n, "blocksize": bs,
             "encode_gbps": round(enc_dev_gbps, 4),
             "decode_gbps": round(dec_dev_gbps, 4),
+            "decode_hostdev_gbps": round(dec_hostdev_gbps, 4),
             "e2e_encode_gbps": round(n / t_enc / 1e9, 4),
             "e2e_decode_gbps": round(n / t_dec / 1e9, 4),
             "wire_exact_vs_oracle": wire_exact,

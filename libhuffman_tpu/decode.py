@@ -123,6 +123,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
         native.build_decode_tables(bufs, offs, lens)
     )
 
+    next_off = _next_candidate_offsets(cands)
     eligible = []
     for i, c in enumerate(pending):
         ns = int(nstages_all[i])
@@ -136,12 +137,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             # (crafted trees): host-exact path.
             c.fallback = True
             continue
-        depth = int(maxdep_all[i])
-        # Sound payload upper bound: every code is <= depth bits, so this
-        # block consumes at most ceil(n_sym*depth/8) payload bytes.  Sizing
-        # buffers by this (not by the remaining stream) keeps batches
-        # shape-homogeneous and avoids decoding into other blocks' bytes.
-        cap = min(c.avail, (c.n_sym * depth + 7) // 8)
+        cap = _payload_cap(c, int(maxdep_all[i]), next_off.get(c.off))
         if cap > (1 << 18):
             # Oversized single blocks can't amortize the 128-lane batch
             # minimum of the chain kernel: host/native path.
@@ -165,6 +161,33 @@ class _Plan:
     def __init__(self, **kw):
         for k, v in kw.items():
             setattr(self, k, v)
+
+
+def _next_candidate_offsets(cands) -> dict[int, int]:
+    """Map candidate offset -> offset of the next candidate (or None)."""
+    offs = sorted(c.off for c in cands)
+    return {offs[i]: offs[i + 1] for i in range(len(offs) - 1)}
+
+
+def _payload_cap(c: _Candidate, depth: int, next_off: int | None) -> int:
+    """Payload byte budget for a speculative block.
+
+    Two sound-ish upper bounds combine:
+      * every code is <= depth bits: ceil(n_sym * depth / 8) (always sound);
+      * a true block's payload ends at the next true header, and every true
+        header is in the candidate list — so the next *candidate* offset
+        bounds it, UNLESS that candidate is a false positive inside this
+        payload.  A too-small cap is recovered by the retry path
+        (_apply_plan_results sends short reads below ``avail`` back to the
+        host-exact walk), so tightening never costs correctness — it cuts
+        the position-budget waste of the worst-case bound (~2.4x measured).
+    """
+    cap = min(c.avail, (c.n_sym * depth + 7) // 8)
+    if next_off is not None:
+        gap = next_off - c.payload_off
+        if gap > 0:
+            cap = min(cap, gap)
+    return cap
 
 
 def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
@@ -196,11 +219,10 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
             ns = max(ns, cns)
-        wv = wbytes.reshape(B, W + 128, 4).astype(np.uint32)
-        words = (
-            (wv[:, :, 0] << 24) | (wv[:, :, 1] << 16)
-            | (wv[:, :, 2] << 8) | wv[:, :, 3]
-        ).reshape(B, (W + 128) // 128, 128)
+        # Big-endian u32 words via a dtype view (single byteswap pass; the
+        # shift/or construction cost ~4 full-array temporaries).
+        words = wbytes.view(">u4").astype(np.uint32).reshape(
+            B, (W + 128) // 128, 128)
         OUTW = _bucket(max_sym, 512) // 4
         plans.append(_Plan(words=words, tables=tables, n_sym=n_sym, NP=NP,
                            OUTW=OUTW, ns=ns, batch=batch))
@@ -247,13 +269,14 @@ def build_device_plans(enc: bytes):
     tables_all, nstages_all, _mindep, maxdep_all = (
         native.build_decode_tables(bufs, offs2, lens)
     )
+    next_off = _next_candidate_offsets(cands)
     eligible = []
     n_out = 0
     for i, c in enumerate(cands):
         ns = int(nstages_all[i])
         if ns < 0:
             continue
-        cap = min(c.avail, (c.n_sym * int(maxdep_all[i]) + 7) // 8)
+        cap = _payload_cap(c, int(maxdep_all[i]), next_off.get(c.off))
         if cap > (1 << 18):
             continue
         eligible.append((c, tables_all[i], cap, ns))
@@ -262,21 +285,28 @@ def build_device_plans(enc: bytes):
 
 
 def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h):
-    for b, (c, *_rest) in enumerate(plan.batch):
+    for b, (c, _tab, cap, _ns) in enumerate(plan.batch):
         if cor_h[b]:
             # Read-then-step precedence (decoder.c:52-71): a failing bit
-            # beyond the available payload is a short read, not
-            # corruption of a byte that was never read.
-            if int(bad_h[b]) // 8 < c.avail:
+            # beyond the available payload is a short read, not corruption
+            # of a byte that was never read.  A failure beyond a
+            # *tightened* cap (but within avail) is speculation gone
+            # short, not a verdict: retry on the host-exact path.
+            bb = int(bad_h[b]) // 8
+            if bb < cap:
                 c.error = BtreeCorruptedError
+            elif cap < c.avail:
+                c.fallback = True
             else:
                 c.error = ReadWriteError
             continue
         consumed = (int(end_h[b]) + 7) // 8
-        if consumed > c.avail:
+        if consumed <= cap:
+            c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
+        elif cap < c.avail:
+            c.fallback = True
+        else:
             c.error = ReadWriteError
-            continue
-        c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
 
 
 def _chain(data: bytes, length: int, use_device: bool):

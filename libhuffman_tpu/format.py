@@ -253,25 +253,31 @@ def find_candidate_headers(data: np.ndarray, max_n_sym: int = 1 << 32) -> np.nda
     if n < BLOCK_HEADER.size:
         return np.zeros(0, dtype=np.int64)
     m = n - BLOCK_HEADER.size + 1  # last offset where a full header fits
-    # Chunked scan: the widened temporaries are bounded per chunk instead of
-    # ~9 int64 copies of the whole stream (a 10 GB stream would otherwise
-    # allocate ~hundreds of GB; now peak extra memory is ~12x CHUNK).
-    CHUNK = 1 << 23
+    # Pure-u8 predicate chain (the previous int64 widening cost ~0.4 s per
+    # scanned MB on this host — 10.9 s for a 25 MB stream, measured round
+    # 3); chunked so a 10 GB stream never holds more than ~12x CHUNK of
+    # temporaries.
+    CHUNK = 1 << 26
     found: list[np.ndarray] = []
     for base in range(0, m, CHUNK):
         end = min(base + CHUNK, m)
-        d = data[base : end + BLOCK_HEADER.size - 1].astype(np.int64)
+        d = data[base : end + BLOCK_HEADER.size - 1]
         c = end - base
-        lo = (d[0:c] | (d[1 : c + 1] << 8) | (d[2 : c + 2] << 16)
-              | (d[3 : c + 3] << 24))
-        hi_zero = (d[4 : c + 4] | d[5 : c + 5] | d[6 : c + 6]
-                   | d[7 : c + 7]) == 0
-        tree_len = d[8 : c + 8] | (d[9 : c + 9] << 8)
-        tree_len = np.where(tree_len >= 1 << 15, tree_len - (1 << 16),
-                            tree_len)  # i16
-        ok = (hi_zero & (lo >= 1) & (lo < max_n_sym)
-              & (tree_len >= 1) & (tree_len <= BTREE_SER_MAX))
-        hits = np.nonzero(ok)[0]
+        lo_nz = (d[0:c] | d[1 : c + 1] | d[2 : c + 2] | d[3 : c + 3]) != 0
+        hi_z = (d[4 : c + 4] | d[5 : c + 5] | d[6 : c + 6]
+                | d[7 : c + 7]) == 0
+        d8 = d[8 : c + 8]
+        d9 = d[9 : c + 9]
+        # 1 <= tree_len <= BTREE_SER_MAX (1025 = 0x0401), i16 LE:
+        tree_ok = ((d9 < 4) & ((d8 | d9) != 0)) | ((d9 == 4) & (d8 <= 1))
+        ok = lo_nz & hi_z & tree_ok
+        hits = np.flatnonzero(ok)
+        if len(hits) and max_n_sym < (1 << 32):
+            lo = (d[0:c][hits].astype(np.int64)
+                  | (d[1 : c + 1][hits].astype(np.int64) << 8)
+                  | (d[2 : c + 2][hits].astype(np.int64) << 16)
+                  | (d[3 : c + 3][hits].astype(np.int64) << 24))
+            hits = hits[lo < max_n_sym]
         if len(hits):
             found.append(hits.astype(np.int64) + base)
     if not found:

@@ -122,7 +122,7 @@ def scan_stream(data: np.ndarray, decode: bool = False, out_cap: int = 0,
     return err, consumed.value, produced.value, blocks.value, out
 
 
-TAB_ROWS = 20  # 8 (LUT10) + 8 (stage 1: 64 states x 4 bits) + 4 tail stages
+TAB_ROWS = 24  # 8 (LUT10) + 8 (stage 1: 64st x 4b) + 4 x 2 (tail: 32st x 3b)
 MAX_TABLE_DEPTH = 26  # 10 + 4 + 4*3; deeper codes -> host-exact fallback
 
 

@@ -42,9 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pack_tree
+from . import concat_kernel, pack_tree
 
-TAB_ROWS = 20
+TAB_ROWS = 24
 # Resolve-depth buckets: NS lookup stages beyond LUT10 cover depth
 # MAXL_OF_NS[NS]; NS is the static jit key (6 variants).
 MAXL_OF_NS = (10, 14, 17, 20, 23, 26)
@@ -61,7 +61,7 @@ def _interpret() -> bool:
 # Kernel 1: per-position resolve
 # --------------------------------------------------------------------------
 
-_RW_MAX = 8  # word rows per tile: 8*128 words = 32768 positions per step
+_RW_MAX = 16  # word rows per tile: 16*128 words = 65536 positions per step
 
 
 def _permute128(row, idx):
@@ -82,11 +82,12 @@ def _lookup1024(rows, idx):
     return out
 
 
-def _resolve_kernel_body(NS: int, WR: int, RW: int):
+def _resolve_kernel_body(NS: int, RW: int):
     def kernel(words_ref, tab_ref, meta_ref):
         lut10 = [tab_ref[0, c:c + 1, :] for c in range(8)]  # (1, 128) rows
         s1 = [tab_ref[0, 8 + c:9 + c, :] for c in range(8)]
-        tail = [tab_ref[0, 16 + k:17 + k, :] for k in range(4)]
+        tail = [[tab_ref[0, 16 + 2 * k + c:17 + 2 * k + c, :]
+                 for c in range(2)] for k in range(4)]
 
         def tile(t, _):
             w = words_ref[0, pl.ds(t * RW, RW), :]
@@ -112,7 +113,10 @@ def _resolve_kernel_body(NS: int, WR: int, RW: int):
                 for k in range(2, NS + 1):
                     shift = jnp.uint32(15 - 3 * (k - 2))
                     bits3 = ((win >> shift) & 7).astype(jnp.int32)
-                    ek = _permute128(tail[k - 2], ((e & 15) << 3) | bits3)
+                    idxk = ((e & 31) << 3) | bits3  # [0, 256): 2 chunks
+                    ek0 = _permute128(tail[k - 2][0], idxk & 127)
+                    ek1 = _permute128(tail[k - 2][1], idxk & 127)
+                    ek = jnp.where(idxk >= 128, ek1, ek0)
                     e = jnp.where(e & _DONE != 0, e, ek)
                 # meta byte planes: len | sym << 8 | (bad << 7 | fail) << 16
                 bad = (e & _BAD) != 0
@@ -121,13 +125,13 @@ def _resolve_kernel_body(NS: int, WR: int, RW: int):
                 ln = jnp.where(bad, 0, lnf)
                 bf = jnp.where(bad, 128 + lnf, 0)
                 meta = (ln | (sym << 8) | (bf << 16)).astype(jnp.uint32)
-                meta_ref[0, s, pl.ds(t * RW, RW), :] = meta
+                meta_ref[0, s, :, :] = meta
                 return 0
 
             jax.lax.fori_loop(0, 32, phase, 0)
             return 0
 
-        jax.lax.fori_loop(0, WR // RW, tile, 0)
+        tile(pl.program_id(1), 0)
 
     return kernel
 
@@ -149,16 +153,20 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
     WR = WRp1 - 1
     RW = min(_RW_MAX, WR)
     assert WR % RW == 0, WR
+    # The word-tile axis is a grid dimension so the per-step output block
+    # stays small (a (1, 32, WR, 128) block OOMs VMEM for deep-tree plans
+    # with NP = 2^21); the words row is re-fetched per tile step, a ~16x
+    # HBM read amplification that is still < 2 ms at bench scale.
     return pl.pallas_call(
-        _resolve_kernel_body(NS, WR, RW),
-        grid=(B,),
+        _resolve_kernel_body(NS, RW),
+        grid=(B, WR // RW),
         in_specs=[
-            pl.BlockSpec((1, WRp1, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, WRp1, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TAB_ROWS, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TAB_ROWS, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 32, WR, 128), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 32, RW, 128), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 32, WR, 128), jnp.uint32),
         interpret=_interpret(),
@@ -172,82 +180,80 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
 SP = 512  # positions per grid step
 
 
-def _chain_kernel_body(MAXL: int, SB: int):
-    def kernel(len_ref, sym_ref, start_ref, gw_ref, gc_ref, st_ref, lw_ref):
+def _chain_kernel_body(SB: int):
+    def kernel(len_ref, symbf_ref, start_ref, gw_ref, gc_ref, gb_ref,
+               pend_ref):
         first = pl.program_id(0) == 0
 
         @pl.when(first)
         def _():
-            st_ref[0] = jnp.zeros((SB, 128), jnp.uint32)
-            for l in range(MAXL):
-                lw_ref[l] = jnp.zeros((SB, 128), jnp.int32)
+            # pend bit d = a codeword start scheduled d+1 positions ahead;
+            # seeding bit 0 realizes is_start(0) = 1 (src/decoder.c:34).
+            pend_ref[0] = jnp.full((SB, 128), 1, jnp.uint32)
 
-        st0 = st_ref[0]
-        lw0 = tuple(lw_ref[l] for l in range(MAXL))
-
-        def stripe(j, carry):
-            st = carry[0]
-            lw = carry[1:]
-            word = st & 0  # u32 zeros with a concrete layout
-            gw = st & 0
+        def stripe(j, pend):
+            word = pend & 0  # u32 zeros with a concrete layout
+            gw = pend & 0
             gc = jnp.zeros((SB, 128), jnp.int32)
+            gb = jnp.zeros((SB, 128), jnp.int32)
             for t in range(32):
-                new = st & 0
-                for l in range(1, MAXL + 1):
-                    m = (lw[l - 1] == l).astype(jnp.uint32)
-                    new = new | (((st >> (l - 1)) & 1) & m)
-                if t == 0:
-                    # is_start(0) = 1: the chain starts at bit 0
-                    # (reference src/decoder.c:34).
-                    new = jnp.where(first & (j == 0), jnp.uint32(1), new)
+                new = pend & 1
                 word = word | (new << t)
-                sym = sym_ref[32 * j + t].astype(jnp.uint32)
+                sb = symbf_ref[32 * j + t].astype(jnp.uint32)
                 shift = (jnp.uint32(24) - (gc.astype(jnp.uint32) << 3)) & 31
-                gw = jnp.where(new == 1, gw | (sym << shift), gw)
+                gw = jnp.where(new == 1, gw | ((sb & 255) << shift), gw)
                 gc = gc + new.astype(jnp.int32)
+                # started-and-bad mask bit (bad flag = bit 15 of symbf)
+                gb = gb | jnp.where(
+                    (new == 1) & ((sb >> 15) & 1 == 1), 1 << (t % 8), 0)
+                ln = len_ref[32 * j + t].astype(jnp.uint32)
+                sched = jnp.where(
+                    (new == 1) & (ln > 0),
+                    jnp.uint32(1) << (ln - 1), jnp.uint32(0))
+                pend = (pend >> 1) | sched
                 if t % 8 == 7:
                     gw_ref[4 * j + t // 8] = gw
                     gc_ref[4 * j + t // 8] = gc
-                    gw = st & 0
+                    gb_ref[4 * j + t // 8] = gb
+                    gw = pend & 0
                     gc = jnp.zeros((SB, 128), jnp.int32)
-                lnp = len_ref[32 * j + t]
-                st = (st << 1) | new
-                lw = (lnp,) + lw[:-1]
+                    gb = jnp.zeros((SB, 128), jnp.int32)
             start_ref[j] = word
-            return (st,) + lw
+            return pend
 
-        carry = jax.lax.fori_loop(0, SP // 32, stripe, (st0,) + lw0)
-        st_ref[0] = carry[0]
-        for l in range(MAXL):
-            lw_ref[l] = carry[1 + l]
+        pend_ref[0] = jax.lax.fori_loop(0, SP // 32, stripe, pend_ref[0])
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def chain_emit(len_t: jax.Array, sym_t: jax.Array, MAXL: int):
+@jax.jit
+def chain_emit(len_t: jax.Array, symbf_t: jax.Array):
     """is_start bits + per-8-position emission groups for every block.
 
-    len_t/sym_t: (NP, B) u8/u8 position-major code lengths and symbols
-    (B a multiple-of-128 lane count after padding).  Returns
-      start (NP // 32, B) u32  — bit t of word w = is_start(32w + t),
-      gw    (NP // 8, B) u32   — started symbols of the group, big-endian,
-      gc    (NP // 8, B) i32   — started-symbol count of the group.
+    len_t:   (NP, B) u8 position-major code lengths;
+    symbf_t: (NP, B) i32 sym(8) | bf(8) << 8 (bf bit 7 = bad).
+    Returns
+      start (NP // 32, B) u32 — bit t of word w = is_start(32w + t),
+      gw    (NP // 8, B) u32  — started symbols of the group, big-endian,
+      gc    (NP // 8, B) i32  — started-symbol count of the group,
+      gb    (NP // 8, B) i32  — started-and-bad mask (bit j = position j).
 
     Sequential over positions within a block (the true dependency of
-    reference src/decoder.c:34-96), blocks across vector lanes; chain
-    state = one u32 window + MAXL lag registers per lane.
+    reference src/decoder.c:34-96), blocks across vector lanes.  The chain
+    state is a single u32 pending-start bitmask per lane (a start of
+    length L at p schedules bit L-1 at p+1), so the per-position cost is
+    constant — no MAXL-sized lag window.
     """
     NP, B = len_t.shape
     assert NP % SP == 0, (NP, B)
     B_pad = -(-B // 128) * 128
     if B_pad != B:
         len_t = jnp.pad(len_t, ((0, 0), (0, B_pad - B)))
-        sym_t = jnp.pad(sym_t, ((0, 0), (0, B_pad - B)))
+        symbf_t = jnp.pad(symbf_t, ((0, 0), (0, B_pad - B)))
     SB = B_pad // 128
     grid = NP // SP
-    kernel = _chain_kernel_body(MAXL, SB)
-    start, gw, gc = pl.pallas_call(
+    kernel = _chain_kernel_body(SB)
+    start, gw, gc, gb = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -263,22 +269,25 @@ def chain_emit(len_t: jax.Array, sym_t: jax.Array, MAXL: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
             jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
             jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, SB, 128), jnp.uint32),
-            pltpu.VMEM((MAXL, SB, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(len_t.astype(jnp.int32).reshape(NP, SB, 128),
-      sym_t.astype(jnp.int32).reshape(NP, SB, 128))
+      symbf_t.astype(jnp.int32).reshape(NP, SB, 128))
     return (start.reshape(NP // 32, B_pad)[:, :B],
             gw.reshape(NP // 8, B_pad)[:, :B],
-            gc.reshape(NP // 8, B_pad)[:, :B])
+            gc.reshape(NP // 8, B_pad)[:, :B],
+            gb.reshape(NP // 8, B_pad)[:, :B])
 
 
 # --------------------------------------------------------------------------
@@ -286,11 +295,20 @@ def chain_emit(len_t: jax.Array, sym_t: jax.Array, MAXL: int):
 # --------------------------------------------------------------------------
 
 def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int):
-    """Concatenate per-group byte strings through the merge tree."""
-    strings, glens = pack_tree._soa_levels(gw, gc * 8, 3)
-    words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
-    if words.shape[1] < OUTW:
-        words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
+    """Concatenate per-group byte strings (VMEM merge-tree kernel).
+
+    gw is already a left-aligned MSB-first bitstring of length 8 * gc, so
+    it feeds the generic concatenation kernel directly.  Falls back to the
+    XLA merge tree for group counts below the kernel's minimum.
+    """
+    NG = gw.shape[1]
+    if NG >= 256 and OUTW % 128 == 0:
+        words = concat_kernel.concat_words(gw, gc * 8, OUTW)
+    else:
+        strings, glens = pack_tree._soa_levels(gw, gc * 8, 3)
+        words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
+        if words.shape[1] < OUTW:
+            words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
     out = jnp.stack(
         [(words >> 24), (words >> 16), (words >> 8), words], axis=-1
     ).astype(jnp.uint8).reshape(gw.shape[0], 4 * OUTW)
@@ -321,33 +339,39 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     """
     B = words.shape[0]
     WR = NP // 4096  # NP/32 words / 128 lanes
+    W = NP // 32
     meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128)
     meta = jax.lax.optimization_barrier(meta)
-    mflat = meta.reshape(B, 32, WR * 128)
+    mflat = meta.reshape(B, 32, W)
 
-    # Position-major planes: p = 32w + s -> transpose (B, 32, W) axes.
+    # Position-major planes for the chain: p = 32w + s.
     ln_pm = (mflat & 0xFF).astype(jnp.uint8)
-    sym_pm = ((mflat >> 8) & 0xFF).astype(jnp.uint8)
-    bf_pm = ((mflat >> 16) & 0xFF).astype(jnp.uint8)
+    symbf_pm = (mflat >> 8).astype(jnp.int32)
     len_t = jnp.transpose(ln_pm, (2, 1, 0)).reshape(NP, B)
-    sym_t = jnp.transpose(sym_pm, (2, 1, 0)).reshape(NP, B)
+    symbf_t = jnp.transpose(symbf_pm, (2, 1, 0)).reshape(NP, B)
 
-    MAXL = MAXL_OF_NS[NS]
-    start_w, gw_t, gc_t = chain_emit(len_t, sym_t, MAXL)
+    start_w, gw_t, gc_t, gb_t = chain_emit(len_t, symbf_t)
     start_w = jax.lax.optimization_barrier(start_w)
     gw = gw_t.T  # (B, NG)
     gc = gc_t.T
+    gb = gb_t.T
 
     out = _emit_groups(gw, gc, OUTW)
 
     # --- bookkeeping (reference decoder.c:52-91 semantics) ---
-    bit_iota = jax.lax.broadcasted_iota(jnp.uint32, (NP // 32, 32), 1)
-    start = (
-        ((start_w.T[:, :, None] >> bit_iota[None]) & 1).astype(bool)
-    ).reshape(B, NP)
-    start = jax.lax.optimization_barrier(start)
-    lni = jnp.transpose(ln_pm.astype(jnp.int32), (0, 2, 1)).reshape(B, NP)
-    bf = jnp.transpose(bf_pm.astype(jnp.int32), (0, 2, 1)).reshape(B, NP)
+    # All group-granular: per-block scalars come from single gathers into
+    # the (B, NG)/(B, 32*W) planes — no (B, NP) expansions.
+    sw_bT = start_w.T  # (B, NP/32): group g = byte g%4 of word g//4
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+
+    def group_start_mask(g):
+        word = _gather_rows_small(sw_bT, g // 4).astype(jnp.int32)
+        return (word >> ((g % 4) * 8)) & 0xFF
+
+    def meta_at(p, plane):
+        # plane (B, 32, W) flat-indexed at position p = 32w + s.
+        return _gather_rows_small(
+            plane.reshape(B, 32 * W), (p % 32) * W + p // 32)
 
     grank = jnp.cumsum(gc, axis=1)  # inclusive, per block
     total = grank[:, -1]
@@ -360,40 +384,30 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
         0,
     )
     k = n_sym - before  # 1-based rank within the group, in [1, 4]
-    sg = jnp.stack(
-        [_gather_rows_small(start.reshape(B, NP // 8, 8)[:, :, j], g_star)
-         for j in range(8)], axis=1
-    ).astype(jnp.int32)  # (B, 8)
-    lg = jnp.stack(
-        [_gather_rows_small(lni.reshape(B, NP // 8, 8)[:, :, j], g_star)
-         for j in range(8)], axis=1
-    )
+    sg = (group_start_mask(g_star)[:, None] >> iota8) & 1
     csg = jnp.cumsum(sg, axis=1)
     hit = (csg == k[:, None]) & (sg == 1)
     j_star = jnp.argmax(hit, axis=1).astype(jnp.int32)
     p_star = g_star * 8 + j_star
-    l_star = jnp.take_along_axis(lg, j_star[:, None], axis=1)[:, 0]
+    l_star = meta_at(p_star, ln_pm.astype(jnp.int32))
     end_bit = jnp.where(reached, p_star + l_star, NP)
 
-    # corrupt: first bad start within the first n_sym codewords
-    badp = (bf >= 128) & start
-    anybad = jnp.any(badp, axis=1)
-    fb = jnp.argmax(badp, axis=1).astype(jnp.int32)
-    gfb = fb // 8
+    # corrupt: first bad start (gb marks started-and-bad positions)
+    anybad = jnp.any(gb != 0, axis=1)
+    gfb = jnp.argmax(gb != 0, axis=1).astype(jnp.int32)
+    gbv = _gather_rows_small(gb, gfb)
+    bbits = (gbv[:, None] >> iota8) & 1
+    jfb = jnp.argmax(bbits, axis=1).astype(jnp.int32)
+    fb = gfb * 8 + jfb
     before_fb = jnp.where(
         gfb > 0, _gather_rows_small(grank, jnp.maximum(gfb - 1, 0)), 0
     )
-    sgf = jnp.stack(
-        [_gather_rows_small(start.reshape(B, NP // 8, 8)[:, :, j], gfb)
-         for j in range(8)], axis=1
-    ).astype(jnp.int32)
-    jfb = fb - gfb * 8
+    sgf = (group_start_mask(gfb)[:, None] >> iota8) & 1
     rank_fb = before_fb + jnp.sum(
-        jnp.where(jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
-                  <= jfb[:, None], sgf, 0), axis=1
+        jnp.where(iota8 <= jfb[:, None], sgf, 0), axis=1
     )
     corrupt = anybad & (rank_fb <= n_sym)
-    fail_off = _gather_rows_small(bf & 63, fb)
+    fail_off = meta_at(fb, symbf_pm) >> 8 & 63
     bad_bit = fb + fail_off
     return out, end_bit, corrupt, bad_bit
 
@@ -406,19 +420,18 @@ def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
     bookkeeping), reduced to a checksum.  BENCH_PHASES=1 drives this."""
     u32 = jnp.uint32
     B = words.shape[0]
-    WR = NP // 4096
     meta = jax.lax.optimization_barrier(resolve_blocks(words, tables, NS))
     if upto == 1:
         return jnp.sum(meta)
-    mflat = meta.reshape(B, 32, WR * 128)
+    mflat = meta.reshape(B, 32, NP // 32)
     len_t = jnp.transpose((mflat & 0xFF).astype(jnp.uint8), (2, 1, 0)
                           ).reshape(NP, B)
-    sym_t = jnp.transpose(((mflat >> 8) & 0xFF).astype(jnp.uint8), (2, 1, 0)
-                          ).reshape(NP, B)
-    start_w, gw_t, gc_t = chain_emit(len_t, sym_t, MAXL_OF_NS[NS])
+    symbf_t = jnp.transpose((mflat >> 8).astype(jnp.int32), (2, 1, 0)
+                            ).reshape(NP, B)
+    start_w, gw_t, gc_t, gb_t = chain_emit(len_t, symbf_t)
     if upto == 2:
         return (jnp.sum(start_w) + jnp.sum(gw_t)
-                + jnp.sum(gc_t.astype(u32)))
+                + jnp.sum(gc_t.astype(u32)) + jnp.sum(gb_t.astype(u32)))
     out = _emit_groups(gw_t.T, gc_t.T, OUTW)
     if upto == 3:
         return jnp.sum(out.astype(u32))

@@ -102,6 +102,65 @@ def histogram(blocks: jax.Array, n_valid: jax.Array, chunk: int = 8192) -> jax.A
     )
 
 
+def _hist_kernel_body(R: int, K: int):
+    import jax.experimental.pallas as pl
+
+    def kernel(bytes_ref, out_ref):
+        i16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        acc = jnp.zeros((16, 16), jnp.float32)
+        # Static row unroll: dynamic sublane offsets are not provably
+        # tile-aligned for Mosaic's u8 vector loads.
+        for r in range(R):
+            row = bytes_ref[0, r:r + 1, :].astype(jnp.int32)  # (1, K)
+            hi = jnp.broadcast_to(row >> 4, (16, K))
+            lo = jnp.broadcast_to(row & 15, (16, K))
+            A = (hi == i16).astype(jnp.bfloat16)
+            Bm = (lo == i16).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                A, Bm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0] = acc
+
+    return kernel
+
+
+def histogram_pallas(blocks: jax.Array, n_valid: jax.Array) -> jax.Array:
+    """Histogram via an in-VMEM nibble contraction, one block per grid step.
+
+    The XLA nibble matmul keeps (B, 16, chunk) bf16 one-hots in HBM and its
+    16x16 matmuls starve the MXU (measured 22.9 ms / 16.8 MB, PERF.md §4);
+    here the one-hots are VMEM-transient and the contraction streams the
+    whole block as the K dimension.  Requires N % 4096 == 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N = blocks.shape
+    # One full-block contraction per step: K = N streams the MXU at its
+    # column rate; 16-wide one-hots stay VMEM-transient.
+    R = 1
+    K = N // R
+    cnt = pl.pallas_call(
+        _hist_kernel_body(R, K),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, K), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, 16), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 16, 16), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(blocks.reshape(B, R, K))
+    counts = cnt.reshape(B, 256).astype(jnp.int32)
+    pad = (N - n_valid).astype(jnp.int32)
+    counts = counts.at[:, 0].add(-pad)
+    return jnp.concatenate(
+        [counts, jnp.zeros((B, HISTOGRAM_LEN - ASCII_COUNT), jnp.int32)],
+        axis=1)
+
+
 # --------------------------------------------------------------------------
 # Tree construction
 # --------------------------------------------------------------------------
@@ -245,7 +304,7 @@ def _layout_kernel_body(RN: int):
     import jax.experimental.pallas as pl
 
     def kernel(blocks_ref, codes_ref, lens_ref, nv_ref, C_ref, L_ref):
-        nv = nv_ref[0]
+        nv = nv_ref[pl.program_id(0)]
         c_rows = [codes_ref[0, r:r + 1, :] for r in range(2)]
         l_rows = [lens_ref[0, r:r + 1, :] for r in range(2)]
 
@@ -301,8 +360,7 @@ def symbol_layout_pallas(blocks: jax.Array, codes: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b: (b,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid, whole (B,)
         ],
         out_specs=[
             pl.BlockSpec((1, RN, 128), lambda b: (b, 0, 0),
@@ -316,7 +374,8 @@ def symbol_layout_pallas(blocks: jax.Array, codes: jax.Array,
         ],
         interpret=jax.default_backend() == "cpu",
     )(blocks.reshape(B, RN, 128), codes.reshape(B, 2, 128),
-      lens.astype(jnp.int32).reshape(B, 2, 128), n_valid.astype(jnp.int32))
+      lens.astype(jnp.int32).reshape(B, 2, 128),
+      n_valid.astype(jnp.int32))
     return C.reshape(B, N), L.reshape(B, N)
 
 
@@ -355,7 +414,11 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
     optimization_barrier between phases keeps XLA from rematerializing a
     producer (e.g. the histogram) inside a consumer loop's body.
     """
-    freqs = histogram(blocks, n_valid)
+    N = blocks.shape[1]
+    if N % 4096 == 0:
+        freqs = histogram_pallas(blocks, n_valid)
+    else:
+        freqs = histogram(blocks, n_valid)
     freqs = jax.lax.optimization_barrier(freqs)
     left, right, parent, pbit, root = jax.lax.optimization_barrier(
         build_trees(freqs)
@@ -364,7 +427,6 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
         extract_codes(parent, pbit)
     )
     total_bits = jnp.sum(freqs[:, :ASCII_COUNT] * lens, axis=1)
-    N = blocks.shape[1]
     if N % 1024 == 0:
         C, L = symbol_layout_pallas(blocks, codes, lens, n_valid)
         C, L = jax.lax.optimization_barrier((C, L))
@@ -372,7 +434,19 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
         C, L = jax.lax.optimization_barrier(
             symbol_layout(blocks, codes, lens, n_valid)
         )
-    words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
+    if N % 1024 == 0 and W % 128 == 0:
+        # VMEM merge-tree kernel: exact at any code lengths; blocks whose
+        # payload exceeds the W-word budget are flagged for the host path
+        # (total_bits is exact, so no in-kernel overflow tracking needed).
+        from . import concat_kernel
+
+        ln = L.astype(jnp.uint32)
+        level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31),
+                           jnp.uint32(0))
+        words = concat_kernel.concat_words(level0, L, W)
+        pack_ovf = total_bits > 32 * W
+    else:
+        words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
     return (words_to_bytes(words), total_bits, left, right, root,
             overflow | pack_ovf)
 
@@ -385,7 +459,10 @@ def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
     checksum so stage outputs never leave the device.  Phase cost k =
     t(k) - t(k-1); the BENCH_PHASES=1 bench path drives this."""
     u32 = jnp.uint32
-    freqs = histogram(blocks, n_valid)
+    if blocks.shape[1] % 4096 == 0:
+        freqs = histogram_pallas(blocks, n_valid)
+    else:
+        freqs = histogram(blocks, n_valid)
     if upto == 1:
         return jnp.sum(freqs.astype(u32))
     freqs = jax.lax.optimization_barrier(freqs)
@@ -409,5 +486,13 @@ def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
         )
     if upto == 4:
         return jnp.sum(C) + jnp.sum(L.astype(u32))
+    if blocks.shape[1] % 1024 == 0 and W % 128 == 0:
+        from . import concat_kernel
+
+        ln = L.astype(jnp.uint32)
+        level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31),
+                           jnp.uint32(0))
+        words = concat_kernel.concat_words(level0, L, W)
+        return jnp.sum(words)
     words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
     return jnp.sum(words) + jnp.sum(pack_ovf.astype(u32))

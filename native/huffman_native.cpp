@@ -232,12 +232,13 @@ int32_t scan_stream(const uint8_t* data, int64_t length,
 //
 //   rows 0..7   LUT10:   index = first 10 window bits           (1024)
 //   rows 8..15  stage 1: index = state(6b) << 4 | bits [10,14)  (1024)
-//   rows 16..19 stage k: index = state(4b) << 3 | 3 bits        (128 each)
-//                        covering depth cuts 14, 17, 20, 23 -> max 26
+//   rows 16..23 stage k: index = state(5b) << 3 | 3 bits        (256 each,
+//               two rows per stage) covering cuts 14, 17, 20, 23 -> max 26
 //
 // Cut capacities follow measured tree shapes (bench/probe_r3 analysis):
-// realistic 64 KiB blocks have <= 64 internal nodes at depth 10 and <= 16
-// at depth 14+; uniform-byte blocks have depth <= 10 entirely.
+// realistic 64 KiB text blocks (Zipf word mix with a rare-byte tail) have
+// <= 64 internal nodes at depth 10 and <= ~31 at depth 14; uniform-byte
+// blocks have depth <= 10 entirely.
 //
 // Entry packing (int32):
 //   terminal:  (1 << 15) | bad << 14 | lnfail(6) << 8 | sym(8)
@@ -278,7 +279,7 @@ static void walk_entry(const uint32_t* nodes, int32_t nt, int32_t start_node,
     *end_node = node;
 }
 
-static const int32_t TAB_ROWS = 20;  // 8 (LUT10) + 8 (stage 1) + 4 (tail)
+static const int32_t TAB_ROWS = 24;  // 8 (LUT10) + 8 (stage 1) + 4*2 (tail)
 
 int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
                             int32_t* tables)  // [TAB_ROWS * 128]
@@ -289,6 +290,7 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
     int32_t states[64];  // internal nodes at the current cut
     int32_t n_states = 0;
     int32_t next_states[64];
+    const int32_t TAIL_CAP = 32;
 
     // LUT10 from the root (rows 0..7).
     for (uint32_t v = 0; v < 1024; ++v) {
@@ -325,7 +327,7 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
                 for (int32_t t = 0; t < n_next; ++t)
                     if (next_states[t] == end) { sid = t; break; }
                 if (sid < 0) {
-                    if (n_next >= 16) return -1;
+                    if (n_next >= TAIL_CAP) return -1;
                     sid = n_next;
                     next_states[n_next++] = end;
                 }
@@ -336,19 +338,19 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
     for (int32_t t = 0; t < n_next; ++t) states[t] = next_states[t];
     n_states = n_next;
 
-    // Tail stages (rows 16..19): 16 states x 3 bits, cuts 14/17/20/23.
+    // Tail stages (rows 16..23): 32 states x 3 bits, cuts 14/17/20/23.
     int32_t ns = 1;
     int32_t depth = 14;
     while (n_states > 0) {
         if (ns >= 5) return -1;  // depth > 26
-        int32_t* tab = tables + (16 + ns - 1) * 128;
+        int32_t* tab = tables + (16 + 2 * (ns - 1)) * 128;
         n_next = 0;
         for (int32_t s = 0; s < n_states; ++s) {
             for (uint32_t v = 0; v < 8; ++v) {
                 int32_t term, bad, lnfail, sym, end;
                 walk_entry(nodes, nt, states[s], depth, v, 3,
                            &term, &bad, &lnfail, &sym, &end);
-                int32_t idx = (s << 3) | (int32_t)v;
+                int32_t idx = (s << 3) | (int32_t)v;  // [0, 256)
                 if (term) {
                     tab[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
                 } else {
@@ -356,7 +358,7 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
                     for (int32_t t = 0; t < n_next; ++t)
                         if (next_states[t] == end) { sid = t; break; }
                     if (sid < 0) {
-                        if (n_next >= 16) return -1;
+                        if (n_next >= TAIL_CAP) return -1;
                         sid = n_next;
                         next_states[n_next++] = end;
                     }

@@ -101,13 +101,16 @@ def test_chain_emit_matches_numpy_reference():
     lens = rng.integers(2, MAXL + 1, (B, NP)).astype(np.uint8)
     lens[0, 5] = 0  # a dead position: the chain must stop if it lands here
     syms = rng.integers(0, 256, (B, NP)).astype(np.uint8)
+    bad = (rng.random((B, NP)) < 0.02).astype(np.int32)
+    symbf = syms.astype(np.int32) | (bad << 15)
 
-    start_w, gw, gc = ddec.chain_emit(
-        jnp.asarray(lens.T), jnp.asarray(syms.T), MAXL
+    start_w, gw, gc, gb = ddec.chain_emit(
+        jnp.asarray(lens.T), jnp.asarray(symbf.T)
     )
     start_w = np.asarray(start_w)
     gw = np.asarray(gw).T  # (B, NG)
     gc = np.asarray(gc).T
+    gb = np.asarray(gb).T
     got = np.zeros((B, NP), bool)
     for wi in range(NP // 32):
         for t in range(32):
@@ -126,9 +129,13 @@ def test_chain_emit_matches_numpy_reference():
             members = [p for p in range(8 * g, 8 * g + 8) if expect[p]]
             assert gc[b, g] == len(members), (b, g)
             w = 0
+            bm = 0
             for i, p in enumerate(members):
                 w |= int(syms[b, p]) << (24 - 8 * i)
+                if bad[b, p]:
+                    bm |= 1 << (p % 8)
             assert gw[b, g] == w, (b, g)
+            assert gb[b, g] == bm, (b, g)
 
 
 def test_resolve_blocks_matches_table_walk():
@@ -173,7 +180,7 @@ def test_resolve_blocks_matches_table_walk():
                 e = T[1024 + (((e & 63) << 4) | ((w32 >> 18) & 15))]
             else:
                 bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
-                e = T[(16 + k - 2) * 128 + (((e & 15) << 3) | bits3)]
+                e = T[(16 + 2 * (k - 2)) * 128 + (((e & 31) << 3) | bits3)]
             k += 1
         bad = bool(e & (1 << 14))
         lnf = (e >> 8) & 63
