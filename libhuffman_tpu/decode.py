@@ -239,6 +239,38 @@ def _run_plan(plan: _Plan):
     )
 
 
+def scan_candidates(data, length: int | None = None,
+                    limit: int | None = None) -> list[_Candidate] | None:
+    """All plausible block-header candidates of a stream, in offset order.
+
+    The shared front half of speculative decoding (decode.py's chain,
+    parallel/multihost.py's range split, and the bench profilers): one
+    vectorized header scan + per-candidate parse.  ``limit`` bails out
+    (returns None) on a raw-offset explosion before paying per-candidate
+    parses — crafted streams only.
+    """
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    if length is None:
+        length = len(buf)
+    offs = find_candidate_headers(buf[:length])
+    if limit is not None and len(offs) > limit:
+        return None
+    mv = memoryview(buf)
+    cands = []
+    for off in offs.tolist():
+        try:
+            hdr = parse_block_header(mv, off)
+        except Exception:
+            continue
+        avail = length - hdr.payload_off
+        if avail < 0:
+            continue
+        cands.append(_Candidate(off, hdr.n_sym, np.asarray(hdr.tree),
+                                hdr.payload_off, avail))
+    return cands
+
+
 def build_device_plans(enc: bytes):
     """Device decode plans for a whole stream (bench/profiling entry).
 
@@ -248,19 +280,8 @@ def build_device_plans(enc: bytes):
     output byte count they cover.
     """
     buf = np.frombuffer(enc, np.uint8)
-    offs = find_candidate_headers(buf)
-    mv = memoryview(enc)
-    cands = []
-    for off in offs.tolist():
-        try:
-            hdr = parse_block_header(mv, off)
-        except Exception:
-            continue
-        avail = len(enc) - hdr.payload_off
-        if avail < 0 or hdr.n_sym == 0 or hdr.n_sym > 8 * avail:
-            continue
-        cands.append(_Candidate(off, hdr.n_sym, np.asarray(hdr.tree),
-                                hdr.payload_off, avail))
+    cands = [c for c in scan_candidates(buf)
+             if c.n_sym and c.n_sym <= 8 * c.avail]
     if not cands:
         return [], 0
     bufs = np.concatenate([np.asarray(c.tree, np.int16) for c in cands])
@@ -320,22 +341,11 @@ def _chain(data: bytes, length: int, use_device: bool):
     cand_map: dict[int, _Candidate] = {}
     if use_device and length > 0:
         with annotate("huff.decode.scan"):
-            offs = find_candidate_headers(buf[:length])
-        # Pathological candidate explosion (crafted input): stay sequential.
-        if len(offs) <= max(64, length // 64):
-            mv = memoryview(data)
-            cands = []
-            for off in offs.tolist():
-                try:
-                    hdr = parse_block_header(mv, off)
-                except Exception:
-                    continue
-                avail = length - hdr.payload_off
-                if avail < 0:
-                    continue
-                c = _Candidate(off, hdr.n_sym, np.asarray(hdr.tree), hdr.payload_off, avail)
-                cands.append(c)
-                cand_map[off] = c
+            # Candidate explosions (crafted input) bail to sequential.
+            cands = scan_candidates(buf, length,
+                                    limit=max(64, length // 64))
+        if cands is not None:
+            cand_map = {c.off: c for c in cands}
             _decode_candidates_device(buf, cands)
 
     out = []

@@ -116,23 +116,8 @@ def decode_stream_multihost(stream: bytes) -> bytes:
     if nproc == 1:
         return _decode_mod.decode(stream)
 
-    from ..format import find_candidate_headers, parse_block_header
-
     buf = np.frombuffer(stream, np.uint8)
-    offs = find_candidate_headers(buf)
-    mv = memoryview(stream)
-    cands = []
-    for off in offs.tolist():
-        try:
-            hdr = parse_block_header(mv, off)
-        except Exception:
-            continue
-        avail = len(stream) - hdr.payload_off
-        if avail < 0:
-            continue
-        cands.append(_decode_mod._Candidate(
-            off, hdr.n_sym, np.asarray(hdr.tree), hdr.payload_off, avail))
-
+    cands = _decode_mod.scan_candidates(buf)
     lo, hi = _my_range(len(cands))
     _decode_mod._decode_candidates_device(buf, cands[lo:hi])
 
