@@ -98,25 +98,30 @@ def time_call(fn, *args, repeat=2):
 
 
 def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
-    """Device-resident encode throughput: batches pre-staged in HBM."""
+    """Device-resident encode throughput: batches pre-staged in HBM.
+
+    Dispatch latency is a flat ~23.5 ms that does not pipeline on this
+    platform (bench/probe_r4_dispatch.py), so the whole corpus goes through
+    as few dispatches as possible — the driver's batch bucketing."""
+    from libhuffman_tpu import encode as enc_mod
     from libhuffman_tpu.ops import device as dev
 
     n = len(data)
     nblk = -(-n // bs)
-    BB = 256
+    BB = enc_mod.DEFAULT_BATCH_BLOCKS
     batches = []
     for s in range(0, nblk, BB):
         nb = min(BB, nblk - s)
-        arr = np.zeros((BB, bs), np.uint8)
+        B = enc_mod._bucket_blocks(nb)
+        arr = np.zeros((B, bs), np.uint8)
         seg = data[s * bs : min(n, (s + nb) * bs)]
         arr.reshape(-1)[: len(seg)] = seg
-        nv = np.full(BB, bs, np.int32)
-        if len(seg) < BB * bs:
-            full = len(seg) // bs
-            rem = len(seg) - full * bs
-            nv[full:] = 0
-            if rem:
-                nv[full] = rem
+        nv = np.full(B, bs, np.int32)
+        full = len(seg) // bs
+        rem = len(seg) - full * bs
+        nv[full:] = 0
+        if rem:
+            nv[full] = rem
         batches.append((jax.device_put(jnp.asarray(arr)),
                         jax.device_put(jnp.asarray(nv))))
     capw = 24
@@ -133,7 +138,8 @@ def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
 
     # Warm/compile; every timed repetition transfers a scalar checksum —
     # block_until_ready can return early on the axon tunnel (PERF.md §1).
-    np.asarray(checksum(dev.encode_blocks(*batches[0], W, capw)))
+    for b, nv in batches:
+        np.asarray(checksum(dev.encode_blocks(b, nv, W, capw)))
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint8(rep + 1)  # defeat dispatch coalescing
@@ -171,28 +177,33 @@ def bench_decode_device(enc: bytes, repeat=3):
     t0 = time.perf_counter()
     plans, n_out = decode_plans(enc)
     t_plan = time.perf_counter() - t0
-    dev_plans = [
+    arrays = tuple(
         (jax.device_put(jnp.asarray(p.words)),
          jax.device_put(jnp.asarray(p.tables)),
-         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.ns)
+         jax.device_put(jnp.asarray(p.n_sym)))
         for p in plans
-    ]
+    )
+    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
     from libhuffman_tpu.ops import decode_v3 as ddec
 
     @jax.jit
-    def checksum(res):
-        out, end_bit, corrupt, bad_bit = res
-        return (jnp.sum(out.astype(jnp.uint32)) + jnp.sum(end_bit)
-                + jnp.sum(bad_bit))
+    def checksum_many(results):
+        acc = jnp.uint32(0)
+        for out, end_bit, corrupt, bad_bit in results:
+            acc = (acc + jnp.sum(out.astype(jnp.uint32))
+                   + jnp.sum(end_bit.astype(jnp.uint32))
+                   + jnp.sum(bad_bit.astype(jnp.uint32)))
+        return acc
 
-    np.asarray(checksum(ddec.decode_blocks(*dev_plans[0])))  # warm/compile
+    # One fused dispatch for the whole stream (dispatch latency is a flat
+    # ~23.5 ms that does not pipeline; bench/probe_r4_dispatch.py).
+    np.asarray(checksum_many(ddec.decode_blocks_many(arrays, shapes)))
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint32(rep + 1)  # defeat dispatch coalescing
+        salted = tuple((w ^ salt, t, ns) for (w, t, ns) in arrays)
         t0 = time.perf_counter()
-        acc = [checksum(ddec.decode_blocks(w ^ salt, t, ns, NP, OW, NS))
-               for (w, t, ns, NP, OW, NS) in dev_plans]
-        _ = [np.asarray(a) for a in acc]
+        np.asarray(checksum_many(ddec.decode_blocks_many(salted, shapes)))
         best = min(best, time.perf_counter() - t0)
 
     # Host-side output assembly, timed on pre-transferred results so only
@@ -200,9 +211,8 @@ def bench_decode_device(enc: bytes, repeat=3):
     import libhuffman_tpu.decode as dec_mod
 
     host_res = []
-    for p, (w, t, ns, NP, OW, NS) in zip(plans, dev_plans):
-        out, end_bit, corrupt, bad_bit = ddec.decode_blocks(
-            w, t, ns, NP, OW, NS)
+    for res in ddec.decode_blocks_many(arrays, shapes):
+        out, end_bit, corrupt, bad_bit = res
         host_res.append((np.asarray(out), np.asarray(end_bit),
                          np.asarray(corrupt), np.asarray(bad_bit)))
     t0 = time.perf_counter()

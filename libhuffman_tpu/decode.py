@@ -68,8 +68,10 @@ _PAD_TABLE = None
 def _pad_table() -> np.ndarray:
     global _PAD_TABLE
     if _PAD_TABLE is None:
-        _PAD_TABLE = np.full((native.TAB_ROWS, 128), (1 << 15) | (1 << 14),
-                             np.int32)
+        # Two packed 16-bit DONE|BAD entries per u32 cell.
+        e = (1 << 15) | (1 << 14)
+        _PAD_TABLE = np.full((native.TAB_ROWS, 128), e | (e << 16),
+                             np.uint32)
     return _PAD_TABLE
 
 
@@ -145,12 +147,14 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             continue
         eligible.append((c, tables_all[i], cap, ns))
 
-    for plan in _build_plans(data, eligible):
-        with annotate("huff.decode.device"):
-            out, end_bit, corrupt, bad_bit = _run_plan(plan)
-            out_h = np.asarray(out)
+    plans = _build_plans(data, eligible)
+    if not plans:
+        return
+    with annotate("huff.decode.device"):
+        results = _run_plans(plans)
+    for plan, (out, end_bit, corrupt, bad_bit) in zip(plans, results):
         _apply_plan_results(
-            plan, out_h, np.asarray(end_bit), np.asarray(corrupt),
+            plan, np.asarray(out), np.asarray(end_bit), np.asarray(corrupt),
             np.asarray(bad_bit),
         )
 
@@ -237,6 +241,21 @@ def _run_plan(plan: _Plan):
         jnp.asarray(plan.words), jnp.asarray(plan.tables),
         jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.ns,
     )
+
+
+def _run_plans(plans: list[_Plan]):
+    """All plans in ONE device dispatch (dispatch latency is a flat
+    ~23.5 ms on this platform and does not pipeline; PERF.md §1)."""
+    import jax.numpy as jnp
+
+    for p in plans:
+        _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns))
+    arrays = tuple(
+        (jnp.asarray(p.words), jnp.asarray(p.tables), jnp.asarray(p.n_sym))
+        for p in plans
+    )
+    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
+    return ddec.decode_blocks_many(arrays, shapes)
 
 
 def scan_candidates(data, length: int | None = None,

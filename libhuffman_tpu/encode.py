@@ -25,8 +25,11 @@ from .ops import device as dev
 from .ops import hostref
 from .utils.trace import annotate
 
-# Blocks per device batch.  64 KiB x 256 = 16 MiB of input per dispatch.
-DEFAULT_BATCH_BLOCKS = 256
+# Blocks per device batch.  64 KiB x 2048 = 128 MiB of input per dispatch:
+# dispatch latency does not pipeline on this platform (a flat ~23.5 ms RTT
+# per call, measured bench/probe_r4_dispatch.py), so the driver pushes the
+# whole stream through one dispatch whenever it fits.
+DEFAULT_BATCH_BLOCKS = 2048
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -35,6 +38,17 @@ def _bucket(n: int, lo: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _bucket_blocks(nb: int) -> int:
+    """Batch-size bucket: powers of two to 256, then multiples of 256.
+
+    Pow2-only bucketing wastes up to 2x of device compute at large B (a
+    1537-block stream would pad to 2048); multiples of 256 keep padding
+    under 17% while the jit-key count stays bounded (<= 8 keys to 2048)."""
+    if nb <= 256:
+        return _bucket(nb, 1)
+    return -(-nb // 256) * 256
 
 
 def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
@@ -124,7 +138,7 @@ def encode(
     chunks: list[bytes] = []
     for start_blk in range(0, nblocks, batch_blocks):
         nb = min(batch_blocks, nblocks - start_blk)
-        B = _bucket(nb, 1)
+        B = _bucket_blocks(nb)
         batch = np.zeros((B, blocksize), dtype=np.uint8)
         n_valid = np.zeros(B, dtype=np.int32)
         for i in range(nb):

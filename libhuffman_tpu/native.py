@@ -60,7 +60,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint64)]
     lib.walk_progress_resume.restype = ctypes.c_int32
     lib.build_decode_tables_batch.argtypes = [
-        i16p, i64p, i32p, ctypes.c_int32, i32p, i32p, i32p, i32p]
+        i16p, i64p, i32p, ctypes.c_int32, u32p, i32p, i32p, i32p]
     return lib
 
 
@@ -122,18 +122,20 @@ def scan_stream(data: np.ndarray, decode: bool = False, out_cap: int = 0,
     return err, consumed.value, produced.value, blocks.value, out
 
 
-TAB_ROWS = 24  # 8 (LUT10) + 8 (stage 1: 64st x 4b) + 4 x 2 (tail: 32st x 3b)
+# Packed: 4 rows LUT10 + 4 rows stage 1 (64st x 4b) + 4 rows tail (32st x
+# 3b); two 16-bit entries per u32 lane cell (native build_decode_tables).
+TAB_ROWS = 12
 MAX_TABLE_DEPTH = 26  # 10 + 4 + 4*3; deeper codes -> host-exact fallback
 
 
 def build_decode_tables(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):
     """Concatenated int16 wire trees -> per-block resolve tables.
 
-    Returns (tables[B, TAB_ROWS, 128] int32, nstages[B], mindepth[B],
+    Returns (tables[B, TAB_ROWS, 128] uint32, nstages[B], mindepth[B],
     maxdepth[B]); nstages -1 marks host-fallback blocks (bad root, 1-bit
     codes, over-capacity state cuts, or depth > MAX_TABLE_DEPTH)."""
     B = len(offs)
-    tables = np.empty((B, TAB_ROWS, 128), np.int32)
+    tables = np.empty((B, TAB_ROWS, 128), np.uint32)
     nstages = np.empty(B, np.int32)
     mindep = np.empty(B, np.int32)
     maxdep = np.empty(B, np.int32)

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import concat_kernel, pack_tree
 
-TAB_ROWS = 24
+TAB_ROWS = 12  # packed: 4 (LUT10) + 4 (stage 1) + 4 (tail); 2 entries/cell
 # Resolve-depth buckets: NS lookup stages beyond LUT10 cover depth
 # MAXL_OF_NS[NS]; NS is the static jit key (6 variants).
 MAXL_OF_NS = (10, 14, 17, 20, 23, 26)
@@ -61,7 +61,11 @@ def _interpret() -> bool:
 # Kernel 1: per-position resolve
 # --------------------------------------------------------------------------
 
-_RW_MAX = 16  # word rows per tile: 16*128 words = 65536 positions per step
+# Word rows per tile: 64*128 words = 262144 positions per grid step.  Wider
+# tiles amortize per-instruction issue overhead (a (16, 128) operand is only
+# 2 VPU-cycles of work per op; measured round 4, the 16-row kernel ran ~10x
+# below the VPU elementwise roofline purely on issue overhead).
+_RW_MAX = 64
 
 
 def _permute128(row, idx):
@@ -71,23 +75,35 @@ def _permute128(row, idx):
     return jnp.take_along_axis(tab, idx, axis=-1)
 
 
-def _lookup1024(rows, idx):
-    """1024-entry lookup composed from 8 permutes + a chunk select."""
-    lo = idx & 127
-    hi = idx >> 7
-    out = jnp.zeros_like(idx)
-    for c in range(8):
+def _lookup1024p(rows, idx):
+    """1024-entry u16 lookup: 4 chunk permutes over packed pair cells.
+
+    Entry i lives in u32 cell i >> 1, halfword i & 1 (native
+    build_decode_tables packing) — half the permutes of the round-3
+    8-chunk i32 form."""
+    ci = idx >> 1
+    lo = ci & 127
+    hi = ci >> 7
+    out = _permute128(rows[0], lo)
+    for c in range(1, 4):
         g = _permute128(rows[c], lo)
         out = jnp.where(hi == c, g, out)
-    return out
+    sh = ((idx & 1) << 4).astype(jnp.uint32)
+    return (out >> sh) & jnp.uint32(0xFFFF)
+
+
+def _lookup256p(row, idx):
+    """256-entry u16 lookup: one permute over a packed row."""
+    g = _permute128(row, idx >> 1)
+    sh = ((idx & 1) << 4).astype(jnp.uint32)
+    return (g >> sh) & jnp.uint32(0xFFFF)
 
 
 def _resolve_kernel_body(NS: int, RW: int):
     def kernel(words_ref, tab_ref, meta_ref):
-        lut10 = [tab_ref[0, c:c + 1, :] for c in range(8)]  # (1, 128) rows
-        s1 = [tab_ref[0, 8 + c:9 + c, :] for c in range(8)]
-        tail = [[tab_ref[0, 16 + 2 * k + c:17 + 2 * k + c, :]
-                 for c in range(2)] for k in range(4)]
+        lut10 = [tab_ref[0, c:c + 1, :] for c in range(4)]  # (1, 128) rows
+        s1 = [tab_ref[0, 4 + c:5 + c, :] for c in range(4)]
+        tail = [tab_ref[0, 8 + k:9 + k, :] for k in range(4)]
 
         def tile(t, _):
             w = words_ref[0, pl.ds(t * RW, RW), :]
@@ -103,29 +119,22 @@ def _resolve_kernel_body(NS: int, RW: int):
                 # s == 0 case would shift by 32 (undefined).
                 win = (w << su) | ((wn >> 1) >> (jnp.uint32(31) - su))
                 idx10 = (win >> jnp.uint32(22)).astype(jnp.int32)
-                e = _lookup1024(lut10, idx10)
+                e = _lookup1024p(lut10, idx10)
                 if NS >= 1:
-                    idx2 = ((e & 63) << 4) | (
-                        (win >> jnp.uint32(18)) & 15
-                    ).astype(jnp.int32)
-                    e2 = _lookup1024(s1, idx2)
+                    idx2 = (((e & 63) << 4)
+                            | ((win >> jnp.uint32(18)) & 15)).astype(jnp.int32)
+                    e2 = _lookup1024p(s1, idx2)
                     e = jnp.where(e & _DONE != 0, e, e2)
                 for k in range(2, NS + 1):
                     shift = jnp.uint32(15 - 3 * (k - 2))
-                    bits3 = ((win >> shift) & 7).astype(jnp.int32)
-                    idxk = ((e & 31) << 3) | bits3  # [0, 256): 2 chunks
-                    ek0 = _permute128(tail[k - 2][0], idxk & 127)
-                    ek1 = _permute128(tail[k - 2][1], idxk & 127)
-                    ek = jnp.where(idxk >= 128, ek1, ek0)
+                    bits3 = (win >> shift) & 7
+                    idxk = (((e & 31) << 3) | bits3).astype(jnp.int32)
+                    ek = _lookup256p(tail[k - 2], idxk)
                     e = jnp.where(e & _DONE != 0, e, ek)
-                # meta byte planes: len | sym << 8 | (bad << 7 | fail) << 16
-                bad = (e & _BAD) != 0
-                lnf = (e >> 8) & 63
-                sym = e & 255
-                ln = jnp.where(bad, 0, lnf)
-                bf = jnp.where(bad, 128 + lnf, 0)
-                meta = (ln | (sym << 8) | (bf << 16)).astype(jnp.uint32)
-                meta_ref[0, s, :, :] = meta
+                # Raw 16-bit table entries; the XLA glue in decode_blocks
+                # translates to (len, sym, bad/fail) planes — elementwise
+                # work fused into the transpose it already pays for.
+                meta_ref[0, s, :, :] = e.astype(jnp.uint16)
                 return 0
 
             jax.lax.fori_loop(0, 32, phase, 0)
@@ -138,16 +147,16 @@ def _resolve_kernel_body(NS: int, RW: int):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
-    """Per-position codeword metadata for a block batch.
+    """Per-position codeword resolution for a block batch.
 
     words:  (B, WR + 1, 128) u32 big-endian payload words, the last row
             zero padding (windows read one word ahead).
-    tables: (B, TAB_ROWS, 128) i32 resolve tables (native build).
+    tables: (B, TAB_ROWS, 128) u32 packed resolve tables (native build).
     NS:     static lookup-stage count; codes <= MAXL_OF_NS[NS] bits.
 
-    Returns meta (B, 32, WR, 128) u32 in s-plane layout — the entry for
-    position p = 32 * w + s of block b is meta[b, s, w // 128, w % 128],
-    packed len(8) | sym(8) << 8 | (bad << 7 | fail(6)) << 16.
+    Returns meta (B, 32, WR, 128) u16 in s-plane layout — the entry for
+    position p = 32 * w + s of block b is meta[b, s, w // 128, w % 128]:
+    the RAW terminal table entry DONE | bad << 14 | lnfail(6) << 8 | sym(8).
     """
     B, WRp1, _ = words.shape
     WR = WRp1 - 1
@@ -155,8 +164,8 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
     assert WR % RW == 0, WR
     # The word-tile axis is a grid dimension so the per-step output block
     # stays small (a (1, 32, WR, 128) block OOMs VMEM for deep-tree plans
-    # with NP = 2^21); the words row is re-fetched per tile step, a ~16x
-    # HBM read amplification that is still < 2 ms at bench scale.
+    # with NP = 2^21); the words row is re-fetched per tile step, a ~4x
+    # HBM read amplification that is still < 1 ms at bench scale.
     return pl.pallas_call(
         _resolve_kernel_body(NS, RW),
         grid=(B, WR // RW),
@@ -168,7 +177,7 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((1, 32, RW, 128), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 32, WR, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B, 32, WR, 128), jnp.uint16),
         interpret=_interpret(),
     )(words, tables)
 
@@ -181,8 +190,7 @@ SP = 512  # positions per grid step
 
 
 def _chain_kernel_body(SB: int):
-    def kernel(len_ref, symbf_ref, start_ref, gw_ref, gc_ref, gb_ref,
-               pend_ref):
+    def kernel(meta_ref, start_ref, gw_ref, gc_ref, gb_ref, pend_ref):
         first = pl.program_id(0) == 0
 
         @pl.when(first)
@@ -199,14 +207,15 @@ def _chain_kernel_body(SB: int):
             for t in range(32):
                 new = pend & 1
                 word = word | (new << t)
-                sb = symbf_ref[32 * j + t].astype(jnp.uint32)
+                m = meta_ref[32 * j + t].astype(jnp.uint32)
+                sb = m >> 8  # sym(8) | bf(8) << 8, bf bit 7 = bad
                 shift = (jnp.uint32(24) - (gc.astype(jnp.uint32) << 3)) & 31
                 gw = jnp.where(new == 1, gw | ((sb & 255) << shift), gw)
                 gc = gc + new.astype(jnp.int32)
                 # started-and-bad mask bit (bad flag = bit 15 of symbf)
                 gb = gb | jnp.where(
                     (new == 1) & ((sb >> 15) & 1 == 1), 1 << (t % 8), 0)
-                ln = len_ref[32 * j + t].astype(jnp.uint32)
+                ln = m & 255
                 sched = jnp.where(
                     (new == 1) & (ln > 0),
                     jnp.uint32(1) << (ln - 1), jnp.uint32(0))
@@ -227,11 +236,12 @@ def _chain_kernel_body(SB: int):
 
 
 @jax.jit
-def chain_emit(len_t: jax.Array, symbf_t: jax.Array):
+def chain_emit(meta_t: jax.Array):
     """is_start bits + per-8-position emission groups for every block.
 
-    len_t:   (NP, B) u8 position-major code lengths;
-    symbf_t: (NP, B) i32 sym(8) | bf(8) << 8 (bf bit 7 = bad).
+    meta_t: (NP, B) u32 position-major len(8) | sym(8) << 8 | bf(8) << 16
+            (bf bit 7 = bad) — ONE fused plane instead of separate len /
+            symbf planes (one XLA transpose feeding the kernel, not two).
     Returns
       start (NP // 32, B) u32 — bit t of word w = is_start(32w + t),
       gw    (NP // 8, B) u32  — started symbols of the group, big-endian,
@@ -244,12 +254,11 @@ def chain_emit(len_t: jax.Array, symbf_t: jax.Array):
     length L at p schedules bit L-1 at p+1), so the per-position cost is
     constant — no MAXL-sized lag window.
     """
-    NP, B = len_t.shape
+    NP, B = meta_t.shape
     assert NP % SP == 0, (NP, B)
     B_pad = -(-B // 128) * 128
     if B_pad != B:
-        len_t = jnp.pad(len_t, ((0, 0), (0, B_pad - B)))
-        symbf_t = jnp.pad(symbf_t, ((0, 0), (0, B_pad - B)))
+        meta_t = jnp.pad(meta_t, ((0, 0), (0, B_pad - B)))
     SB = B_pad // 128
     grid = NP // SP
     kernel = _chain_kernel_body(SB)
@@ -257,8 +266,6 @@ def chain_emit(len_t: jax.Array, symbf_t: jax.Array):
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SP, SB, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SP, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -282,8 +289,7 @@ def chain_emit(len_t: jax.Array, symbf_t: jax.Array):
             pltpu.VMEM((1, SB, 128), jnp.uint32),
         ],
         interpret=_interpret(),
-    )(len_t.astype(jnp.int32).reshape(NP, SB, 128),
-      symbf_t.astype(jnp.int32).reshape(NP, SB, 128))
+    )(meta_t.astype(jnp.int32).reshape(NP, SB, 128))
     return (start.reshape(NP // 32, B_pad)[:, :B],
             gw.reshape(NP // 8, B_pad)[:, :B],
             gc.reshape(NP // 8, B_pad)[:, :B],
@@ -340,17 +346,22 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     B = words.shape[0]
     WR = NP // 4096  # NP/32 words / 128 lanes
     W = NP // 32
-    meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128)
+    meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128) u16 raw
     meta = jax.lax.optimization_barrier(meta)
-    mflat = meta.reshape(B, 32, W)
+    # Translate raw table entries to len | sym << 8 | bf << 16 (bf =
+    # bad << 7 | lnfail), fused by XLA into the transpose below.
+    e = meta.reshape(B, 32, W).astype(jnp.uint32)
+    bad = (e & _BAD) != 0
+    lnf = (e >> 8) & 63
+    sym8 = (e & 255) << 8
+    mflat = jnp.where(bad, ((128 | lnf) << 16) | sym8, lnf | sym8)
 
-    # Position-major planes for the chain: p = 32w + s.
-    ln_pm = (mflat & 0xFF).astype(jnp.uint8)
+    # Position-major plane for the chain: p = 32w + s.
+    ln_pm = (mflat & 0xFF).astype(jnp.int32)
     symbf_pm = (mflat >> 8).astype(jnp.int32)
-    len_t = jnp.transpose(ln_pm, (2, 1, 0)).reshape(NP, B)
-    symbf_t = jnp.transpose(symbf_pm, (2, 1, 0)).reshape(NP, B)
+    meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
 
-    start_w, gw_t, gc_t, gb_t = chain_emit(len_t, symbf_t)
+    start_w, gw_t, gc_t, gb_t = chain_emit(meta_t)
     start_w = jax.lax.optimization_barrier(start_w)
     gw = gw_t.T  # (B, NG)
     gc = gc_t.T
@@ -389,7 +400,7 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     hit = (csg == k[:, None]) & (sg == 1)
     j_star = jnp.argmax(hit, axis=1).astype(jnp.int32)
     p_star = g_star * 8 + j_star
-    l_star = meta_at(p_star, ln_pm.astype(jnp.int32))
+    l_star = meta_at(p_star, ln_pm)
     end_bit = jnp.where(reached, p_star + l_star, NP)
 
     # corrupt: first bad start (gb marks started-and-bad positions)
@@ -412,6 +423,25 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     return out, end_bit, corrupt, bad_bit
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_blocks_many(arrays, shapes):
+    """All device plans of a stream in ONE dispatch.
+
+    Dispatch latency on this platform is a flat ~23.5 ms that does not
+    pipeline (bench/probe_r4_dispatch.py) — per-plan dispatches made the
+    round-3 decode pay ~140 ms of pure latency per 100 MB.  XLA's buffer
+    allocator frees each plan's intermediates before the next plan's run,
+    so peak HBM stays at one plan's working set plus inputs/outputs.
+
+    arrays: tuple of (words, tables, n_sym) triples; shapes: matching tuple
+    of static (NP, OUTW, NS).  Returns the per-plan decode_blocks results.
+    """
+    return tuple(
+        decode_blocks(w, t, n, NP, OUTW, NS)
+        for (w, t, n), (NP, OUTW, NS) in zip(arrays, shapes)
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
                          upto: int):
@@ -422,13 +452,14 @@ def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
     B = words.shape[0]
     meta = jax.lax.optimization_barrier(resolve_blocks(words, tables, NS))
     if upto == 1:
-        return jnp.sum(meta)
-    mflat = meta.reshape(B, 32, NP // 32)
-    len_t = jnp.transpose((mflat & 0xFF).astype(jnp.uint8), (2, 1, 0)
-                          ).reshape(NP, B)
-    symbf_t = jnp.transpose((mflat >> 8).astype(jnp.int32), (2, 1, 0)
-                            ).reshape(NP, B)
-    start_w, gw_t, gc_t, gb_t = chain_emit(len_t, symbf_t)
+        return jnp.sum(meta.astype(u32))
+    e = meta.reshape(B, 32, NP // 32).astype(u32)
+    bad = (e & _BAD) != 0
+    lnf = (e >> 8) & 63
+    sym8 = (e & 255) << 8
+    mflat = jnp.where(bad, ((128 | lnf) << 16) | sym8, lnf | sym8)
+    meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
+    start_w, gw_t, gc_t, gb_t = chain_emit(meta_t)
     if upto == 2:
         return (jnp.sum(start_w) + jnp.sum(gw_t)
                 + jnp.sum(gc_t.astype(u32)) + jnp.sum(gb_t.astype(u32)))

@@ -228,12 +228,16 @@ int32_t scan_stream(const uint8_t* data, int64_t length,
 // The TPU resolve kernel (ops/decode_v3.py) determines, for every bit
 // position, the (length, symbol) of the codeword starting there, using only
 // 128-wide lookups (the hardware lane-permute width; wider tables compose
-// from 128-entry chunks).  Tables per block, 20 rows of 128 int32:
+// from 128-entry chunks).  Every logical entry fits 16 bits, so TWO entries
+// pack per u32 lane cell — halving both the permute count per lookup in the
+// kernel (4 chunk permutes for a 1024-entry table instead of 8) and the
+// table VMEM footprint.  Packed layout per block, 12 rows of 128 u32
+// (entry i of a table lives in cell i>>1, half i&1, little-halfword first):
 //
-//   rows 0..7   LUT10:   index = first 10 window bits           (1024)
-//   rows 8..15  stage 1: index = state(6b) << 4 | bits [10,14)  (1024)
-//   rows 16..23 stage k: index = state(5b) << 3 | 3 bits        (256 each,
-//               two rows per stage) covering cuts 14, 17, 20, 23 -> max 26
+//   rows 0..3   LUT10:   index = first 10 window bits           (1024)
+//   rows 4..7   stage 1: index = state(6b) << 4 | bits [10,14)  (1024)
+//   rows 8..11  stage k: index = state(5b) << 3 | 3 bits        (256 each,
+//               one row per stage) covering cuts 14, 17, 20, 23 -> max 26
 //
 // Cut capacities follow measured tree shapes (bench/probe_r3 analysis):
 // realistic 64 KiB text blocks (Zipf word mix with a rare-byte tail) have
@@ -279,13 +283,14 @@ static void walk_entry(const uint32_t* nodes, int32_t nt, int32_t start_node,
     *end_node = node;
 }
 
-static const int32_t TAB_ROWS = 24;  // 8 (LUT10) + 8 (stage 1) + 4*2 (tail)
+static const int32_t TAB_ROWS = 12;   // packed: 4 (LUT10) + 4 (stage 1) + 4 (tail)
+static const int32_t LOGI_ROWS = 24;  // logical: 8 + 8 + 4*2
 
-int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
-                            int32_t* tables)  // [TAB_ROWS * 128]
+static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
+                                           int32_t* tables)  // [LOGI_ROWS*128]
 {
     const int32_t DONE = 1 << 15, BAD = 1 << 14;
-    for (int32_t i = 0; i < TAB_ROWS * 128; ++i) tables[i] = DONE | BAD;
+    for (int32_t i = 0; i < LOGI_ROWS * 128; ++i) tables[i] = DONE | BAD;
 
     int32_t states[64];  // internal nodes at the current cut
     int32_t n_states = 0;
@@ -374,6 +379,36 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
     return ns;
 }
 
+// Pack the logical 24-row tables into the 12-row u32 form the kernel reads:
+// two 16-bit entries per lane cell (entry i -> cell i>>1, halfword i&1).
+int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
+                            uint32_t* tables)  // [TAB_ROWS * 128]
+{
+    int32_t logical[LOGI_ROWS * 128];
+    int32_t ns = build_decode_tables_logical(nodes, nt, logical);
+    if (ns < 0) return ns;
+    // LUT10 entries 0..1023 -> cells 0..511 (rows 0..3); stage-1 entries
+    // 1024..2047 -> cells 512..1023 (rows 4..7); tail stage k entries
+    // (16+2k)*128 .. +256 -> cells 1024+128k .. +128 (rows 8..11).
+    for (int32_t i = 0; i < 2048; ++i) {
+        uint32_t e = (uint32_t)logical[i] & 0xFFFFu;
+        uint32_t* cell = tables + (i >> 1);
+        if ((i & 1) == 0) *cell = e;
+        else *cell |= e << 16;
+    }
+    for (int32_t k = 0; k < 4; ++k) {
+        const int32_t* src = logical + (16 + 2 * k) * 128;
+        uint32_t* dst = tables + 1024 + 128 * k;
+        for (int32_t i = 0; i < 256; ++i) {
+            uint32_t e = (uint32_t)src[i] & 0xFFFFu;
+            uint32_t* cell = dst + (i >> 1);
+            if ((i & 1) == 0) *cell = e;
+            else *cell |= e << 16;
+        }
+    }
+    return ns;
+}
+
 // Batch: trees packed back-to-back (int16 wire form with offsets/lengths,
 // same inputs as deserialize_trees), one deserialize + table build per
 // block.  Outputs per block: stage count; -1 = host-exact fallback (state
@@ -398,7 +433,7 @@ static void leaf_depths(const uint32_t* nodes, int32_t nt, int32_t node,
 
 void build_decode_tables_batch(const int16_t* bufs, const int64_t* offs,
                                const int32_t* lens, int32_t B,
-                               int32_t* tables,   // [B, TAB_ROWS, 128]
+                               uint32_t* tables,  // [B, TAB_ROWS, 128]
                                int32_t* nstages,  // [B]
                                int32_t* mindep,   // [B]
                                int32_t* maxdep)   // [B]
@@ -409,7 +444,7 @@ void build_decode_tables_batch(const int16_t* bufs, const int64_t* offs,
         int32_t depth = 0;
         int32_t cnt = deserialize_tree(bufs + offs[b], lens[b], nodes, NT,
                                        &depth);
-        int32_t* tab = tables + (int64_t)b * TAB_ROWS * 128;
+        uint32_t* tab = tables + (int64_t)b * TAB_ROWS * 128;
         if (cnt < 0) {
             nstages[b] = -2; mindep[b] = 0; maxdep[b] = 0;
             continue;

@@ -103,10 +103,9 @@ def test_chain_emit_matches_numpy_reference():
     syms = rng.integers(0, 256, (B, NP)).astype(np.uint8)
     bad = (rng.random((B, NP)) < 0.02).astype(np.int32)
     symbf = syms.astype(np.int32) | (bad << 15)
+    meta = (lens.astype(np.uint32) | (symbf.astype(np.uint32) << 8))
 
-    start_w, gw, gc, gb = ddec.chain_emit(
-        jnp.asarray(lens.T), jnp.asarray(symbf.T)
-    )
+    start_w, gw, gc, gb = ddec.chain_emit(jnp.asarray(meta.T))
     start_w = np.asarray(start_w)
     gw = np.asarray(gw).T  # (B, NG)
     gc = np.asarray(gc).T
@@ -172,19 +171,23 @@ def test_resolve_blocks_matches_table_walk():
         jnp.asarray(words), jnp.asarray(tables), NS))
     T = tables[0].reshape(-1)
 
+    def ent(i, base_cells):
+        cell = int(T[base_cells + (i >> 1)])
+        return (cell >> (16 * (i & 1))) & 0xFFFF
+
     def table_resolve(w32):
-        e = T[(w32 >> 22) & 1023]
+        # Packed layout: LUT10 cells [0,512), stage1 [512,1024),
+        # tail k at [1024 + 128k, ...) (native build_decode_tables).
+        e = ent((w32 >> 22) & 1023, 0)
         k = 1
         while not (e & (1 << 15)):
             if k == 1:
-                e = T[1024 + (((e & 63) << 4) | ((w32 >> 18) & 15))]
+                e = ent(((e & 63) << 4) | ((w32 >> 18) & 15), 512)
             else:
                 bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
-                e = T[(16 + 2 * (k - 2)) * 128 + (((e & 31) << 3) | bits3)]
+                e = ent(((e & 31) << 3) | bits3, 1024 + 128 * (k - 2))
             k += 1
-        bad = bool(e & (1 << 14))
-        lnf = (e >> 8) & 63
-        return ((0 if bad else lnf), (e & 255), (128 + lnf if bad else 0))
+        return e
 
     flat = payload[:W]
     for p in rng.integers(0, 32 * W - 32, 200):
@@ -193,6 +196,6 @@ def test_resolve_blocks_matches_table_walk():
         w32 = int(flat[j]) << s & 0xFFFFFFFF
         if s:
             w32 |= int(payload[j + 1]) >> (32 - s)
-        ln, sym, bf = table_resolve(w32)
+        e = table_resolve(w32)
         m = int(meta[0, s, j // 128, j % 128])
-        assert (m & 0xFF, (m >> 8) & 0xFF, (m >> 16) & 0xFF) == (ln, sym, bf), p
+        assert m == e, p
