@@ -96,13 +96,21 @@ class HuffmanDecompressor:
     """
 
     def __init__(self, memlimit: int = DEFAULT_MEM_LIMIT):
+        import numpy as np
+
         # ``memlimit`` mirrors huf_config_t's reader/writer buffer sizing
         # (reference huffmanfile.py:375-376): it is a buffering *hint*, not
         # an enforced cap — the reference grows its membuf past it rather
         # than erroring, so there is no limit-exceeded condition to raise
-        # (PARITY.md "memlimit").  Kept as the initial stream capacity.
+        # (PARITY.md "memlimit").  Kept as the initial buffer capacity.
         self._memlimit = memlimit
-        self._stream = MemStream(capacity=max(int(memlimit), 0))
+        # Sliding-window buffer: a doubling uint8 array with a consumed
+        # offset.  The round-3 MemStream form copied the whole buffered
+        # stream on every feed (getvalue()[-n:]) — O(n^2) for byte-drip
+        # feeding; views into this array cost nothing per feed.
+        self._buf = np.empty(max(int(memlimit), 64), np.uint8)
+        self._len = 0
+        self._off = 0
         self._closed = False
         self._need = 1  # bytes the buffer must reach before the next attempt
         # Measurement-walk cache for the pending (incomplete) head block:
@@ -112,22 +120,42 @@ class HuffmanDecompressor:
         self._walk_sig = None
         self._walk_state = None
 
+    def _write(self, data: bytes) -> None:
+        import numpy as np
+
+        n = len(data)
+        if self._len + n > len(self._buf):
+            # Compact the consumed prefix first; double if still short.
+            if self._off:
+                live = self._len - self._off
+                self._buf[:live] = self._buf[self._off:self._len]
+                self._len = live
+                self._off = 0
+            cap = len(self._buf)
+            while self._len + n > cap:
+                cap *= 2
+            if cap != len(self._buf):
+                grown = np.empty(cap, np.uint8)
+                grown[: self._len] = self._buf[: self._len]
+                self._buf = grown
+        self._buf[self._len : self._len + n] = np.frombuffer(data, np.uint8)
+        self._len += n
+
+    def _pending(self):
+        return self._buf[self._off : self._len]
+
     def decompress(self, data) -> bytes:
         if self._closed:
             raise ValueError("Decompressor has been closed")
-        self._stream.write(bytes(data))
+        self._write(bytes(data))
         # Skip attempts that cannot possibly complete a block: every symbol
         # consumes >= 1 bit, so the bound below is exact-never-late (a
         # completable buffer is always attempted) while turning byte-drip
         # feeding from O(n^2) re-decodes into O(code_len) attempts per block.
-        if len(self._stream) < self._need:
+        if self._len - self._off < self._need:
             return b""
-        pending = self._stream.getvalue()[-len(self._stream):] if len(self._stream) else b""
-        out, consumed = _decode_mod.decode_prefix(pending)
-        self._stream.read(consumed)
-        carry = self._stream.read(len(self._stream))
-        self._stream = MemStream(capacity=max(int(self._memlimit), 0))
-        self._stream.write(carry)
+        out, consumed = _decode_mod.decode_prefix(self._pending())
+        self._off += consumed
         self._need = self._tail_need()
         return out
 
@@ -136,7 +164,7 @@ class HuffmanDecompressor:
         from .errors import ReadWriteError
         from .ops import hostref
 
-        buf = self._stream.getvalue()[-len(self._stream):] if len(self._stream) else b""
+        buf = self._pending()
         if len(buf) < BLOCK_HEADER.size:
             return BLOCK_HEADER.size
         try:
@@ -173,12 +201,12 @@ class HuffmanDecompressor:
 
     @property
     def needs_input(self) -> bool:
-        return len(self._stream) > 0
+        return self._len - self._off > 0
 
     def close(self):
         """Release resources (reference parity, huffmanfile.py:402-406)."""
         self._closed = True
-        self._stream.close()
+        self._len = self._off = 0
 
 
 # HuffmanFile mode table: accepted spelling -> (raw-file mode, side).

@@ -259,20 +259,24 @@ def _run_plans(plans: list[_Plan]):
 
 
 def scan_candidates(data, length: int | None = None,
-                    limit: int | None = None) -> list[_Candidate] | None:
+                    limit: int | None = None,
+                    offsets=None) -> list[_Candidate] | None:
     """All plausible block-header candidates of a stream, in offset order.
 
     The shared front half of speculative decoding (decode.py's chain,
     parallel/multihost.py's range split, and the bench profilers): one
     vectorized header scan + per-candidate parse.  ``limit`` bails out
     (returns None) on a raw-offset explosion before paying per-candidate
-    parses — crafted streams only.
+    parses — crafted streams only.  ``offsets`` skips the vectorized scan
+    and parses the given header offsets instead (multihost ranks reuse the
+    rank-0 scan this way, SURVEY.md §5.8).
     """
     buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
         else data
     if length is None:
         length = len(buf)
-    offs = find_candidate_headers(buf[:length])
+    offs = (np.asarray(offsets, np.int64) if offsets is not None
+            else find_candidate_headers(buf[:length]))
     if limit is not None and len(offs) > limit:
         return None
     mv = memoryview(buf)

@@ -44,6 +44,30 @@ def initialize(coordinator_address: str | None = None,
                                process_id, **kwargs)
 
 
+# Cross-host traffic accounting (SURVEY.md §5.8: DCN bytes per process
+# should scale ~ stream/nproc on the sizes-only paths; tests assert on it).
+DCN_BYTES = 0
+
+
+def _count_dcn(n: int) -> None:
+    global DCN_BYTES
+    DCN_BYTES += int(n)
+
+
+def _allgather_sizes(local_size: int) -> np.ndarray:
+    """All processes' sizes, in process order (tiny, DCN)."""
+    from jax.experimental import multihost_utils
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return np.asarray([local_size], np.int64)
+    _count_dcn(8 * nproc)
+    return np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([local_size], np.int64))
+    ).reshape(nproc)
+
+
 def _allgather_bytes(local: bytes) -> list[bytes]:
     """Gather one byte string from every process, in process order."""
     from jax.experimental import multihost_utils
@@ -51,17 +75,34 @@ def _allgather_bytes(local: bytes) -> list[bytes]:
     nproc = jax.process_count()
     if nproc == 1:
         return [local]
-    size = np.asarray([len(local)], np.int64)
-    sizes = np.asarray(
-        multihost_utils.process_allgather(size)
-    ).reshape(nproc)
+    sizes = _allgather_sizes(len(local))
     cap = int(sizes.max())
     padded = np.zeros(cap, np.uint8)
     padded[: len(local)] = np.frombuffer(local, np.uint8)
+    _count_dcn(cap * nproc)
     gathered = np.asarray(
         multihost_utils.process_allgather(padded)
     ).reshape(nproc, cap)
     return [gathered[i, : sizes[i]].tobytes() for i in range(nproc)]
+
+
+def _broadcast_bytes(local: bytes) -> bytes:
+    """Rank 0's byte string on every process (others contribute nothing)."""
+    from jax.experimental import multihost_utils
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return local
+    mine = local if jax.process_index() == 0 else b""
+    sizes = _allgather_sizes(len(mine))
+    cap = int(sizes[0])
+    padded = np.zeros(cap, np.uint8)
+    padded[: len(mine)] = np.frombuffer(mine, np.uint8)
+    _count_dcn(cap * nproc)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(padded)
+    ).reshape(nproc, cap)
+    return gathered[0].tobytes()
 
 
 def _my_range(n_items: int) -> tuple[int, int]:
@@ -73,18 +114,21 @@ def _my_range(n_items: int) -> tuple[int, int]:
     return lo, min(lo + per, n_items)
 
 
-def encode_stream_multihost(data, blocksize: int, mesh=None) -> bytes:
-    """Encode across processes; every process returns the full stream.
+def encode_stream_multihost_local(data, blocksize: int, mesh=None):
+    """The §5.8 option-(b) recipe: encode shard-locally, gather SIZES only.
 
     Each process encodes its contiguous block range with the local pipeline
-    (optionally sharded over ``mesh`` within the process); per-range
-    compressed sizes are all-gathered and the ranges concatenate in rank
-    order (their offsets are the exclusive scan of the sizes).
+    and keeps the payload local; the only cross-host traffic is the
+    all-gather of per-range compressed sizes (8 bytes/process).  Returns
+    ``(local_segment, offset, total_size)`` — the caller writes its segment
+    at ``offset`` (shared filesystem, object store, rank-ordered send), and
+    the concatenation of segments in rank order IS the stream (every block
+    is self-contained and byte-aligned, src/encoder.c:288-374).
     """
     buf = np.frombuffer(bytes(data), np.uint8)
     n = len(buf)
     if n == 0:
-        return b""
+        return b"", 0, 0
     bs = blocksize if blocksize > 0 else n
     nblocks = -(-n // bs)
     lo, hi = _my_range(nblocks)
@@ -97,6 +141,24 @@ def encode_stream_multihost(data, blocksize: int, mesh=None) -> bytes:
         )
     else:
         local_stream = _encode_mod.encode(local_bytes, bs) if local_bytes else b""
+    sizes = _allgather_sizes(len(local_stream))
+    pid = jax.process_index()
+    offset = int(sizes[:pid].sum())
+    return local_stream, offset, int(sizes.sum())
+
+
+def encode_stream_multihost(data, blocksize: int, mesh=None) -> bytes:
+    """Encode across processes; every process returns the full stream.
+
+    The sizes-only split (:func:`encode_stream_multihost_local`) plus the
+    full-payload all-gather the same-bytes-everywhere contract requires;
+    callers who write rank-local segments should use the ``_local`` variant
+    directly and skip the payload gather entirely.
+    """
+    local_stream, _off, total = encode_stream_multihost_local(
+        data, blocksize, mesh)
+    if total == 0:
+        return b""
     return b"".join(_allgather_bytes(local_stream))
 
 
@@ -117,7 +179,17 @@ def decode_stream_multihost(stream: bytes) -> bytes:
         return _decode_mod.decode(stream)
 
     buf = np.frombuffer(stream, np.uint8)
-    cands = _decode_mod.scan_candidates(buf)
+    # Rank 0 runs the vectorized header scan once and broadcasts the
+    # candidate offsets; other ranks only re-parse headers at those
+    # offsets (identical results by construction — parse_block_header is
+    # deterministic on the replicated stream bytes).
+    if jax.process_index() == 0:
+        cands = _decode_mod.scan_candidates(buf)
+        head = np.asarray([c.off for c in cands], np.int64).tobytes()
+        head = _broadcast_bytes(head)
+    else:
+        offs = np.frombuffer(_broadcast_bytes(b""), np.int64)
+        cands = _decode_mod.scan_candidates(buf, offsets=offs)
     lo, hi = _my_range(len(cands))
     _decode_mod._decode_candidates_device(buf, cands[lo:hi])
 

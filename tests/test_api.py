@@ -130,6 +130,28 @@ def test_incremental_decompressor_drip_walk_is_linear(monkeypatch):
     assert walked[0] <= payload_len, (walked[0], payload_len)
 
 
+def test_incremental_decompressor_big_drip_linear_buffer():
+    # ~1 MB multi-block stream dripped in small chunks: the sliding-window
+    # buffer must (a) decode correctly, (b) never hold more than a small
+    # multiple of the pending tail (the round-3 MemStream version copied
+    # the whole history every feed — O(n^2) for drip feeding).
+    rng = np.random.default_rng(11)
+    words = [bytes(rng.integers(97, 123, int(rng.integers(2, 9)),
+                                dtype=np.uint8)) for _ in range(64)]
+    data = b" ".join(words[int(i)] for i in
+                     rng.integers(0, 64, 170_000))[: 1 << 20]
+    enc = ref_compress(data, 65536)
+    dec = huffmanfile.HuffmanDecompressor()
+    out = []
+    step = 4096
+    for i in range(0, len(enc), step):
+        out.append(dec.decompress(enc[i : i + step]))
+    assert b"".join(out) == data
+    # Compaction keeps capacity ~ max pending tail (one block + slack),
+    # not the full stream history.
+    assert len(dec._buf) < len(enc), (len(dec._buf), len(enc))
+
+
 def test_compressor_after_flush_raises():
     comp = huffmanfile.HuffmanCompressor()
     comp.compress(b"abc")
