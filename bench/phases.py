@@ -46,6 +46,24 @@ def _time(fn, salts, repeat=3):
     return best
 
 
+def _dispatch_baseline(args, repeat=3):
+    """Wall of a trivial dispatch over the same inputs: the flat ~23.5 ms
+    tunnel RTT (does not pipeline, bench/probe_r4_dispatch.py).  Subtracted
+    from every cumulative phase wall so phase 1 is not misattributed the
+    RTT (the round-3 tables were — PERF.md §4 note)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(s, xs):
+        return sum(jnp.sum(x[..., :1].astype(jnp.uint32) ^ s) for x in xs)
+
+    def run(s):
+        return trivial(s, args)
+
+    return _time(run, [jnp.uint32(i) for i in range(1, 4)], repeat)
+
+
 def profile_encode(data: np.ndarray, bs: int, repeat=3):
     """Cumulative then differenced per-phase encode walls on one batch."""
     import jax
@@ -66,13 +84,19 @@ def profile_encode(data: np.ndarray, bs: int, repeat=3):
         P *= 2
     W = min(P, capw * max(P // 64, 1))
 
+    # In-dispatch replication (R=9 vs R=1, differenced) cancels the flat
+    # RTT and the max(RTT, device) hiding of sub-RTT stages.
+    R_HI, R_LO = 9, 1
     cum = []
     for k in range(1, 6):
-        t = _time(
-            lambda s, k=k: dev.encode_blocks_prefix(blocks ^ s, nvd, W, capw, k),
-            [jnp.uint8(i) for i in range(1, 4)], repeat,
-        )
-        cum.append(t)
+        ts = {}
+        for R in (R_LO, R_HI):
+            ts[R] = _time(
+                lambda s, k=k, R=R: dev.encode_blocks_prefix_rep(
+                    blocks ^ jnp.uint8(s), nvd, W, capw, k, R),
+                [jnp.uint32(i) for i in range(11, 14)], repeat,
+            )
+        cum.append(max((ts[R_HI] - ts[R_LO]) / (R_HI - R_LO), 0.0))
     phases = {}
     prev = 0.0
     for name, t in zip(ENC_PHASES, cum):
@@ -92,38 +116,37 @@ def profile_decode(enc: bytes, repeat=3):
     from libhuffman_tpu.ops import decode_v3 as ddec
 
     plans, n_out = bench_mod.decode_plans(enc)
-    from collections import Counter
-
-    shapes = Counter((p.words.shape[0], p.NP, p.OUTW, p.ns) for p in plans)
-    dom = shapes.most_common(1)[0][0]
-    sel = [p for p in plans
-           if (p.words.shape[0], p.NP, p.OUTW, p.ns) == dom]
-    covered = sum(int(p.n_sym.sum()) for p in sel)
-    dev_plans = [
+    covered = sum(int(p.n_sym.sum()) for p in plans)
+    arrays = tuple(
         (jax.device_put(jnp.asarray(p.words)),
          jax.device_put(jnp.asarray(p.tables)),
-         jax.device_put(jnp.asarray(p.n_sym)), p.NP, p.OUTW, p.ns)
-        for p in sel
-    ]
+         jax.device_put(jnp.asarray(p.n_sym)))
+        for p in plans
+    )
+    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
 
+    # ONE fused dispatch per ablation level; subtract one trivial-dispatch
+    # RTT.  Per-plan dispatching cannot be decomposed honestly: serialized
+    # dispatches cost max(RTT, device) each, hiding sub-RTT stages.
+    base = _dispatch_baseline(tuple(w for (w, *_r) in arrays), repeat)
     cum = []
     for k in range(1, 5):
         def run(s, k=k):
-            return [
-                ddec.decode_blocks_prefix(w ^ s, t, ns, NP, OW, NS, k)
-                for (w, t, ns, NP, OW, NS) in dev_plans
-            ]
+            salted = tuple((w ^ s, t, n) for (w, t, n) in arrays)
+            return ddec.decode_blocks_prefix_many(salted, shapes, k)
         t = _time(run, [jnp.uint32(i) for i in range(1, 4)], repeat)
-        cum.append(t)
+        cum.append(max(t - base, 0.0))
     phases = {}
     prev = 0.0
     for name, t in zip(DEC_PHASES, cum):
         phases[name] = max(t - prev, 0.0)
         prev = max(t, prev)
     phases["_total_prefix"] = cum[-1]
+    phases["_dispatch_rtt"] = base
     phases["_covered_bytes"] = covered
-    phases["_covered_plans"] = f"{len(sel)}/{len(plans)}"
-    phases["_shape"] = str(dom)
+    phases["_covered_plans"] = f"{len(plans)}/{len(plans)}"
+    phases["_shape"] = str(sorted(set(
+        (p.words.shape[0],) + s for p, s in zip(plans, shapes))))
     return phases
 
 

@@ -37,8 +37,11 @@ from .ops import hostref
 from .ops import decode_v3 as ddec
 from .utils.trace import annotate
 
-# Device batch sizing: total bit positions per dispatch (~16 MiB payload).
-_POSITION_BUDGET = 1 << 27
+# Device batch sizing: total bit positions per plan (~32 MiB payload).
+# Larger plans give the chain kernel more block-lanes (B=512 at NP=2^19 ->
+# 4 sublanes of 128 lanes per vector op); HBM peak per plan ~2.5 GB of
+# intermediates, freed before the next plan runs inside the fused dispatch.
+_POSITION_BUDGET = 1 << 28
 
 # Distinct device-kernel shapes dispatched so far: (B, NP, OUTW, NS).
 # The bucket scheme bounds the product — B and OUTW are pow2-bucketed, NP
@@ -211,22 +214,32 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
         i += len(batch)
         B = _bucket(len(batch), 16)
         W = P // 4  # u32 payload words
-        wbytes = np.zeros((B, 4 * (W + 128)), np.uint8)
         tables = np.tile(_pad_table(), (B, 1, 1))
         n_sym = np.ones(B, np.int32)
         max_sym = 1
         ns = 0
+        offs = np.full(B, -1, np.int64)
+        caps = np.zeros(B, np.int64)
         for b, (c, tab, cap, cns) in enumerate(batch):
-            seg = data[c.payload_off : c.payload_off + min(cap, P)]
-            wbytes[b, : len(seg)] = seg
+            offs[b] = c.payload_off
+            caps[b] = min(cap, P)
             tables[b] = tab
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
             ns = max(ns, cns)
-        # Big-endian u32 words via a dtype view (single byteswap pass; the
-        # shift/or construction cost ~4 full-array temporaries).
-        words = wbytes.view(">u4").astype(np.uint32).reshape(
-            B, (W + 128) // 128, 128)
+        if native.available():
+            # One native pass: slice, zero-pad, and byteswap per block
+            # (native stage_plan) straight into the kernel's word layout.
+            words = native.stage_plan(data, offs, caps, W + 128).reshape(
+                B, (W + 128) // 128, 128)
+        else:
+            wbytes = np.zeros((B, 4 * (W + 128)), np.uint8)
+            for b, (c, tab, cap, cns) in enumerate(batch):
+                seg = data[c.payload_off : c.payload_off + min(cap, P)]
+                wbytes[b, : len(seg)] = seg
+            # Big-endian u32 words via a dtype view (single byteswap pass).
+            words = wbytes.view(">u4").astype(np.uint32).reshape(
+                B, (W + 128) // 128, 128)
         OUTW = _bucket(max_sym, 512) // 4
         plans.append(_Plan(words=words, tables=tables, n_sym=n_sym, NP=NP,
                            OUTW=OUTW, ns=ns, batch=batch))
@@ -275,8 +288,12 @@ def scan_candidates(data, length: int | None = None,
         else data
     if length is None:
         length = len(buf)
-    offs = (np.asarray(offsets, np.int64) if offsets is not None
-            else find_candidate_headers(buf[:length]))
+    if offsets is not None:
+        offs = np.asarray(offsets, np.int64)
+    elif native.available():
+        offs = native.find_headers(buf[:length])
+    else:
+        offs = find_candidate_headers(buf[:length])
     if limit is not None and len(offs) > limit:
         return None
     mv = memoryview(buf)
@@ -346,7 +363,9 @@ def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h):
             continue
         consumed = (int(end_h[b]) + 7) // 8
         if consumed <= cap:
-            c.result = (out_h[b, : c.n_sym].tobytes(), consumed)
+            # memoryview, not tobytes(): the final b"".join copies once;
+            # a per-block copy here doubled assembly time at stream scale.
+            c.result = (out_h[b, : c.n_sym].data, consumed)
         elif cap < c.avail:
             c.fallback = True
         else:

@@ -84,6 +84,15 @@ def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
     if native.available():
         trees, lens_t = native.serialize_trees(left_h, right_h, root_h)
 
+    if trees is not None and not overflow_h.any():
+        # Whole-batch native assembly (reference emit order,
+        # src/encoder.c:325-351): one pass instead of a per-block Python
+        # loop — n_valid == 0 rows are padding and skipped natively.
+        with annotate("huff.encode.assemble"):
+            plens = (total_bits_h.astype(np.int64) + 7) // 8
+            return [native.assemble_blocks(
+                n_valid.astype(np.uint64), trees, lens_t, payload_h, plens)]
+
     out = []
     with annotate("huff.encode.assemble"):
         for b in range(len(batch)):

@@ -61,6 +61,16 @@ def _lib():
     lib.walk_progress_resume.restype = ctypes.c_int32
     lib.build_decode_tables_batch.argtypes = [
         i16p, i64p, i32p, ctypes.c_int32, u32p, i32p, i32p, i32p]
+    lib.find_headers.argtypes = [i8p, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.find_headers.restype = ctypes.c_int64
+    lib.stage_plan.argtypes = [
+        i8p, ctypes.c_int64, i64p, i64p, ctypes.c_int32,
+        ctypes.c_int64, u32p]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+    lib.assemble_blocks.argtypes = [
+        u64p, i16p, i32p, ctypes.c_int64, i8p, ctypes.c_int64, i64p,
+        ctypes.c_int32, i8p]
+    lib.assemble_blocks.restype = ctypes.c_int64
     return lib
 
 
@@ -146,6 +156,52 @@ def build_decode_tables(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):
         B, tables, nstages, mindep, maxdep,
     )
     return tables, nstages, mindep, maxdep
+
+
+def find_headers(data: np.ndarray) -> np.ndarray:
+    """Offsets of plausible block headers (native single-pass scan)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    cap = max(1024, len(data) // 4096)
+    out = np.empty(cap, np.int64)
+    k = int(_lib().find_headers(data, len(data), out, cap))
+    if k > cap:
+        out = np.empty(k, np.int64)
+        k = int(_lib().find_headers(data, len(data), out, k))
+    return out[:k].copy()
+
+
+def stage_plan(data: np.ndarray, offs: np.ndarray, caps: np.ndarray,
+               row_words: int) -> np.ndarray:
+    """Per-block zero-padded big-endian u32 word rows for the resolve
+    kernel (single native pass; replaces numpy zeros + per-block copies +
+    byteswap-view staging)."""
+    B = len(offs)
+    out = np.empty((B, row_words), np.uint32)
+    _lib().stage_plan(
+        np.ascontiguousarray(data, np.uint8), len(data),
+        np.ascontiguousarray(offs, np.int64),
+        np.ascontiguousarray(caps, np.int64), B, row_words, out)
+    return out
+
+
+def assemble_blocks(n_sym: np.ndarray, trees: np.ndarray,
+                    tree_lens: np.ndarray, payloads: np.ndarray,
+                    payload_lens: np.ndarray) -> bytes:
+    """Ordered (header, tree, payload) concatenation for a whole batch
+    (reference src/encoder.c:325-351); n_sym == 0 rows are padding."""
+    n_sym = np.ascontiguousarray(n_sym, np.uint64)
+    tree_lens = np.ascontiguousarray(tree_lens, np.int32)
+    payload_lens = np.ascontiguousarray(payload_lens, np.int64)
+    total = int(np.sum(
+        np.where(n_sym > 0, 10 + 2 * tree_lens.astype(np.int64)
+                 + payload_lens, 0)))
+    out = np.empty(total, np.uint8)
+    n = int(_lib().assemble_blocks(
+        n_sym, np.ascontiguousarray(trees, np.int16), tree_lens,
+        trees.shape[1], np.ascontiguousarray(payloads, np.uint8),
+        payloads.shape[1], payload_lens, len(n_sym), out))
+    assert n == total, (n, total)
+    return out.tobytes()
 
 
 def walk_progress(tree: np.ndarray, payload: np.ndarray, n_sym: int) -> int:

@@ -137,9 +137,13 @@ def _concat_kernel_body(N: int, OUTW: int):
                 [x, jnp.zeros((8, FIN - cap), jnp.uint32)], axis=1)
         else:
             x = x[:, :FIN]
+        # Word placement per pair is a single DYNAMIC lane roll
+        # (pltpu.roll with a traced scalar shift) + wrap mask — not a
+        # log2(FIN)-step select barrel: the canvas levels dominated the
+        # kernel's VMEM traffic (~46 full-canvas ops per pair; now ~8).
         riota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        laneF = jax.lax.broadcasted_iota(jnp.int32, (8, FIN), 1)
         lvals = [lens[k, 0] for k in range(8)]
-        nbits = FIN.bit_length()
         while P >= 2:
             xnew = jnp.zeros((8, FIN), jnp.uint32)
             lnew = []
@@ -148,17 +152,11 @@ def _concat_kernel_body(N: int, OUTW: int):
                 b = jnp.broadcast_to(x[k + P // 2:k + P // 2 + 1, :],
                                      (8, FIN))
                 la = lvals[k]
-                s = la >> 5
-                for beta in range(nbits):
-                    kk = 1 << beta
-                    if kk >= FIN:
-                        break
-                    shifted = jnp.concatenate(
-                        [jnp.zeros((8, kk), jnp.uint32), b[:, :-kk]], axis=1)
-                    b = jnp.where(((s >> beta) & 1) == 1, shifted, b)
-                b = jnp.where(s >= FIN, jnp.zeros_like(b), b)
-                prev = jnp.concatenate(
-                    [jnp.zeros((8, 1), jnp.uint32), b[:, :-1]], axis=1)
+                # Clamp: content past the output budget truncates (sound,
+                # content only moves toward higher words); FIN masks fully.
+                s = jnp.minimum(la >> 5, FIN)
+                b = jnp.where(laneF >= s, pltpu.roll(b, s, axis=1), 0)
+                prev = jnp.where(laneF >= 1, pltpu.roll(b, 1, axis=1), 0)
                 ru = jnp.uint32(la & 31)
                 b = (b >> ru) | ((prev << 1) << (jnp.uint32(31) - ru))
                 merged = a | b

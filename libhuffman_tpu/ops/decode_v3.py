@@ -189,64 +189,76 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
 SP = 512  # positions per grid step
 
 
-def _chain_kernel_body(SB: int):
-    def kernel(meta_ref, start_ref, gw_ref, gc_ref, gb_ref, pend_ref):
+def _chain_kernel_body(SB: int, packed: bool):
+    def kernel(meta_ref, start_ref, gw_ref, gr_ref, state_ref):
         first = pl.program_id(0) == 0
 
         @pl.when(first)
         def _():
             # pend bit d = a codeword start scheduled d+1 positions ahead;
             # seeding bit 0 realizes is_start(0) = 1 (src/decoder.c:34).
-            pend_ref[0] = jnp.full((SB, 128), 1, jnp.uint32)
+            state_ref[0] = jnp.full((SB, 128), 1, jnp.uint32)
+            state_ref[1] = jnp.zeros((SB, 128), jnp.uint32)
 
-        def stripe(j, pend):
+        def stripe(j, carry):
+            pend, cnt = carry
             word = pend & 0  # u32 zeros with a concrete layout
             gw = pend & 0
-            gc = jnp.zeros((SB, 128), jnp.int32)
-            gb = jnp.zeros((SB, 128), jnp.int32)
             for t in range(32):
                 new = pend & 1
+                started = new == 1
                 word = word | (new << t)
                 m = meta_ref[32 * j + t].astype(jnp.uint32)
-                sb = m >> 8  # sym(8) | bf(8) << 8, bf bit 7 = bad
-                shift = (jnp.uint32(24) - (gc.astype(jnp.uint32) << 3)) & 31
-                gw = jnp.where(new == 1, gw | ((sb & 255) << shift), gw)
-                gc = gc + new.astype(jnp.int32)
-                # started-and-bad mask bit (bad flag = bit 15 of symbf)
-                gb = gb | jnp.where(
-                    (new == 1) & ((sb >> 15) & 1 == 1), 1 << (t % 8), 0)
-                ln = m & 255
-                sched = jnp.where(
-                    (new == 1) & (ln > 0),
-                    jnp.uint32(1) << (ln - 1), jnp.uint32(0))
+                if packed:
+                    # m = sched(24) | sym << 24; sched pre-computed in XLA
+                    # (1 << (len-1), or 0 for dead positions).
+                    gw = jnp.where(started, (gw << 8) | (m >> 24), gw)
+                    sched = jnp.where(started, m & jnp.uint32(0xFFFFFF), 0)
+                else:
+                    # m = len | sym << 8 | bf << 16 (NS=5: a schedule mask
+                    # would collide with the sym byte; compute in-kernel).
+                    ln = m & 255
+                    gw = jnp.where(started, (gw << 8) | ((m >> 8) & 255), gw)
+                    sched = jnp.where(
+                        started & (ln > 0),
+                        jnp.uint32(1) << (ln - 1), jnp.uint32(0))
+                cnt = cnt + new
                 pend = (pend >> 1) | sched
                 if t % 8 == 7:
                     gw_ref[4 * j + t // 8] = gw
-                    gc_ref[4 * j + t // 8] = gc
-                    gb_ref[4 * j + t // 8] = gb
+                    gr_ref[4 * j + t // 8] = cnt
                     gw = pend & 0
-                    gc = jnp.zeros((SB, 128), jnp.int32)
-                    gb = jnp.zeros((SB, 128), jnp.int32)
             start_ref[j] = word
-            return pend
+            return pend, cnt
 
-        pend_ref[0] = jax.lax.fori_loop(0, SP // 32, stripe, pend_ref[0])
+        pend, cnt = jax.lax.fori_loop(
+            0, SP // 32, stripe, (state_ref[0], state_ref[1]))
+        state_ref[0] = pend
+        state_ref[1] = cnt
 
     return kernel
 
 
-@jax.jit
-def chain_emit(meta_t: jax.Array):
+@functools.partial(jax.jit, static_argnums=(1,))
+def chain_emit(meta_t: jax.Array, packed: bool = True):
     """is_start bits + per-8-position emission groups for every block.
 
-    meta_t: (NP, B) u32 position-major len(8) | sym(8) << 8 | bf(8) << 16
-            (bf bit 7 = bad) — ONE fused plane instead of separate len /
-            symbf planes (one XLA transpose feeding the kernel, not two).
+    meta_t: (NP, B) u32 position-major plane.  ``packed`` layout (NS <= 4):
+    sched(24) | sym(8) << 24, where sched = 1 << (len-1) (0 = dead
+    position), pre-computed by the XLA glue so the sequential loop is
+    minimal.  Non-packed (NS = 5, codes to 26 bits): len | sym << 8 |
+    bf << 16 with the schedule mask computed in-kernel.
     Returns
       start (NP // 32, B) u32 — bit t of word w = is_start(32w + t),
-      gw    (NP // 8, B) u32  — started symbols of the group, big-endian,
-      gc    (NP // 8, B) i32  — started-symbol count of the group,
-      gb    (NP // 8, B) i32  — started-and-bad mask (bit j = position j).
+      gw    (NP // 8, B) u32  — started symbols of the group, RIGHT-aligned
+            insertion order (first started symbol in the highest occupied
+            byte); left-align in XLA via << (32 - 8 * count),
+      grank (NP // 8, B) u32  — RUNNING started-symbol total through the
+            group (inclusive prefix count — replaces an XLA cumsum over
+            the group axis in the bookkeeping).
+
+    Group bad-masks are no longer kernel outputs: started-and-bad =
+    start_bits & bad_bits, both available as packed words on the XLA side.
 
     Sequential over positions within a block (the true dependency of
     reference src/decoder.c:34-96), blocks across vector lanes.  The chain
@@ -261,8 +273,8 @@ def chain_emit(meta_t: jax.Array):
         meta_t = jnp.pad(meta_t, ((0, 0), (0, B_pad - B)))
     SB = B_pad // 128
     grid = NP // SP
-    kernel = _chain_kernel_body(SB)
-    start, gw, gc, gb = pl.pallas_call(
+    kernel = _chain_kernel_body(SB, packed)
+    start, gw, gr = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -276,24 +288,20 @@ def chain_emit(meta_t: jax.Array):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
             jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, SB, 128), jnp.uint32),
+            pltpu.VMEM((2, SB, 128), jnp.uint32),
         ],
         interpret=_interpret(),
     )(meta_t.astype(jnp.int32).reshape(NP, SB, 128))
     return (start.reshape(NP // 32, B_pad)[:, :B],
             gw.reshape(NP // 8, B_pad)[:, :B],
-            gc.reshape(NP // 8, B_pad)[:, :B],
-            gb.reshape(NP // 8, B_pad)[:, :B])
+            gr.reshape(NP // 8, B_pad)[:, :B])
 
 
 # --------------------------------------------------------------------------
@@ -348,35 +356,52 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     W = NP // 32
     meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128) u16 raw
     meta = jax.lax.optimization_barrier(meta)
-    # Translate raw table entries to len | sym << 8 | bf << 16 (bf =
-    # bad << 7 | lnfail), fused by XLA into the transpose below.
+    # Translate raw table entries in XLA (fused into the transpose).
     e = meta.reshape(B, 32, W).astype(jnp.uint32)
     bad = (e & _BAD) != 0
     lnf = (e >> 8) & 63
-    sym8 = (e & 255) << 8
-    mflat = jnp.where(bad, ((128 | lnf) << 16) | sym8, lnf | sym8)
+    ln = jnp.where(bad, 0, lnf)
+    packed = NS <= 4  # codes <= 23 bits: schedule mask fits below sym<<24
+    if packed:
+        sched = jnp.where(
+            ln > 0, jnp.uint32(1) << (jnp.maximum(ln, 1) - 1), jnp.uint32(0))
+        mflat = sched | ((e & 255) << 24)
+    else:
+        mflat = jnp.where(bad, ((128 | lnf) << 16), 0) | ((e & 255) << 8) | ln
 
     # Position-major plane for the chain: p = 32w + s.
-    ln_pm = (mflat & 0xFF).astype(jnp.int32)
-    symbf_pm = (mflat >> 8).astype(jnp.int32)
+    ln_pm = ln.astype(jnp.int32)
+    symbf_pm = ((e & 255) | jnp.where(
+        bad, (1 << 15) | (lnf << 8), 0)).astype(jnp.int32)
     meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
 
-    start_w, gw_t, gc_t, gb_t = chain_emit(meta_t)
+    start_w, gw_t, gr_t = chain_emit(meta_t, packed)
     start_w = jax.lax.optimization_barrier(start_w)
-    gw = gw_t.T  # (B, NG)
-    gc = gc_t.T
-    gb = gb_t.T
+    grank = gr_t.T.astype(jnp.int32)  # (B, NG) inclusive running totals
+    gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
+    # Kernel gw is right-aligned insertion order; left-align for emission.
+    gwu = gw_t.T
+    gw = gwu << ((jnp.uint32(32) - (gc.astype(jnp.uint32) << 3)) & 31)
+    # started-and-bad masks from start bits & per-position bad bits.
+    sw_bT0 = start_w.T  # (B, W)
+    s_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    badw = jnp.sum(
+        jnp.where(bad, jnp.uint32(1) << s_iota, jnp.uint32(0)), axis=1)
+    sb_and = sw_bT0 & badw  # (B, W)
+    bshifts = (jnp.arange(4, dtype=jnp.uint32) * 8)
+    gb = ((sb_and[:, :, None] >> bshifts) & jnp.uint32(0xFF)
+          ).reshape(B, 4 * W).astype(jnp.int32)
 
     out = _emit_groups(gw, gc, OUTW)
 
     # --- bookkeeping (reference decoder.c:52-91 semantics) ---
     # All group-granular: per-block scalars come from single gathers into
     # the (B, NG)/(B, 32*W) planes — no (B, NP) expansions.
-    sw_bT = start_w.T  # (B, NP/32): group g = byte g%4 of word g//4
+    sw_bT = sw_bT0.astype(jnp.int32)  # (B, W): group g = byte g%4, word g//4
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
 
     def group_start_mask(g):
-        word = _gather_rows_small(sw_bT, g // 4).astype(jnp.int32)
+        word = _gather_rows_small(sw_bT, g // 4)
         return (word >> ((g % 4) * 8)) & 0xFF
 
     def meta_at(p, plane):
@@ -384,7 +409,7 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
         return _gather_rows_small(
             plane.reshape(B, 32 * W), (p % 32) * W + p // 32)
 
-    grank = jnp.cumsum(gc, axis=1)  # inclusive, per block
+    # grank comes from the chain kernel (running totals) — no XLA cumsum.
     total = grank[:, -1]
     reached = total >= n_sym
     g_star = jnp.argmax(grank >= n_sym[:, None], axis=1).astype(jnp.int32)
@@ -442,6 +467,19 @@ def decode_blocks_many(arrays, shapes):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def decode_blocks_prefix_many(arrays, shapes, upto: int):
+    """Fused-single-dispatch variant of the profiling ablation: every plan's
+    pipeline truncated after stage ``upto``, one dispatch, one checksum —
+    the only way to get clean absolute phase walls when device time can
+    exceed the non-pipelining ~23.5 ms dispatch RTT (PERF.md §1)."""
+    acc = jnp.uint32(0)
+    for (w, t, n), (NP, OUTW, NS) in zip(arrays, shapes):
+        acc = acc + decode_blocks_prefix(
+            w, t, n, NP, OUTW, NS, upto).astype(jnp.uint32)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
                          upto: int):
@@ -456,14 +494,22 @@ def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
     e = meta.reshape(B, 32, NP // 32).astype(u32)
     bad = (e & _BAD) != 0
     lnf = (e >> 8) & 63
-    sym8 = (e & 255) << 8
-    mflat = jnp.where(bad, ((128 | lnf) << 16) | sym8, lnf | sym8)
+    ln = jnp.where(bad, 0, lnf)
+    packed = NS <= 4
+    if packed:
+        sched = jnp.where(
+            ln > 0, u32(1) << (jnp.maximum(ln, 1) - 1), u32(0))
+        mflat = sched | ((e & 255) << 24)
+    else:
+        mflat = jnp.where(bad, ((128 | lnf) << 16), 0) | ((e & 255) << 8) | ln
     meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
-    start_w, gw_t, gc_t, gb_t = chain_emit(meta_t)
+    start_w, gw_t, gr_t = chain_emit(meta_t, packed)
     if upto == 2:
-        return (jnp.sum(start_w) + jnp.sum(gw_t)
-                + jnp.sum(gc_t.astype(u32)) + jnp.sum(gb_t.astype(u32)))
-    out = _emit_groups(gw_t.T, gc_t.T, OUTW)
+        return jnp.sum(start_w) + jnp.sum(gw_t) + jnp.sum(gr_t)
+    grank = gr_t.T.astype(jnp.int32)
+    gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
+    gw = gw_t.T << ((u32(32) - (gc.astype(u32) << 3)) & 31)
+    out = _emit_groups(gw, gc, OUTW)
     if upto == 3:
         return jnp.sum(out.astype(u32))
     res = decode_blocks(words, tables, n_sym, NP, OUTW, NS)

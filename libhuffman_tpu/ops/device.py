@@ -470,6 +470,21 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
             overflow | pack_ovf)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def encode_blocks_prefix_rep(blocks: jax.Array, n_valid: jax.Array, W: int,
+                             capw: int, upto: int, R: int):
+    """``encode_blocks_prefix`` replicated R times (distinct salts, no CSE)
+    inside one dispatch.  Differencing two R values cancels both the flat
+    dispatch RTT and the max(RTT, device) hiding of sub-RTT stages — the
+    only honest absolute timing for stages cheaper than ~23 ms on this
+    platform (PERF.md §1)."""
+    acc = jnp.uint32(0)
+    for i in range(1, R + 1):
+        acc = acc + encode_blocks_prefix(
+            blocks ^ jnp.uint8(i), n_valid, W, capw, upto).astype(jnp.uint32)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
                          capw: int, upto: int):

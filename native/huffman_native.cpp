@@ -524,4 +524,90 @@ int32_t walk_progress_resume(const int16_t* tree, int32_t tree_len,
     return 1;
 }
 
+// ---------------------------------------------------------------------------
+// Host-side stream plumbing at native speed (round-4: the Python/numpy
+// versions of these three dominated end-to-end walls at the 100 MB scale).
+// ---------------------------------------------------------------------------
+
+// Candidate block-header scan: offsets where a plausible header starts
+// (u64 n_sym with zero high bytes and nonzero low word, 1 <= tree_len <=
+// 1025; mirrors format.find_candidate_headers / reference block layout
+// src/encoder.c:288-374).  Fills up to cap offsets; returns the TOTAL
+// count (callers re-invoke with a larger buffer on overflow).
+int64_t find_headers(const uint8_t* d, int64_t n, int64_t* out, int64_t cap)
+{
+    if (n < 10) return 0;
+    int64_t m = n - 10 + 1, k = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        const uint8_t* p = d + i;
+        if (p[4] | p[5] | p[6] | p[7]) continue;       // high u32 must be 0
+        if (!(p[0] | p[1] | p[2] | p[3])) continue;    // n_sym must be > 0
+        uint8_t d8 = p[8], d9 = p[9];
+        bool tree_ok = (d9 < 4 && (d8 | d9) != 0) || (d9 == 4 && d8 <= 1);
+        if (!tree_ok) continue;
+        if (k < cap) out[k] = i;
+        ++k;
+    }
+    return k;
+}
+
+// Decode plan staging: per block, copy `caps[b]` payload bytes from
+// `data + offs[b]` into a zero-padded row of big-endian u32 words (the
+// resolve kernel's input layout, ops/decode_v3.resolve_blocks).
+void stage_plan(const uint8_t* data, int64_t n,
+                const int64_t* offs, const int64_t* caps, int32_t B,
+                int64_t row_words,  // words per output row (incl. pad row)
+                uint32_t* out)      // [B, row_words]
+{
+    for (int32_t b = 0; b < B; ++b) {
+        uint32_t* o = out + (int64_t)b * row_words;
+        std::memset(o, 0, (size_t)row_words * 4);
+        int64_t off = offs[b];
+        if (off < 0) continue;
+        int64_t len = caps[b];
+        if (off + len > n) len = n - off;
+        if (len > row_words * 4) len = row_words * 4;
+        if (len <= 0) continue;
+        const uint8_t* s = data + off;
+        int64_t w = 0;
+        for (; (w + 1) * 4 <= len; ++w)
+            o[w] = ((uint32_t)s[4 * w] << 24) | ((uint32_t)s[4 * w + 1] << 16)
+                 | ((uint32_t)s[4 * w + 2] << 8) | (uint32_t)s[4 * w + 3];
+        int64_t rem = len - 4 * w;
+        if (rem > 0) {
+            uint32_t v = 0;
+            for (int64_t j = 0; j < rem; ++j)
+                v |= (uint32_t)s[4 * w + j] << (24 - 8 * j);
+            o[w] = v;
+        }
+    }
+}
+
+// Encode stream assembly: ordered concatenation of (header, tree, payload)
+// per block (reference block emit order, src/encoder.c:325-351).  Blocks
+// with n_sym == 0 are padding and skipped.  Little-endian host assumed
+// (u64/i16 header fields memcpy'd directly — matches the wire format).
+int64_t assemble_blocks(const uint64_t* n_sym,
+                        const int16_t* trees, const int32_t* tree_lens,
+                        int64_t tree_stride,
+                        const uint8_t* payloads, int64_t payload_stride,
+                        const int64_t* payload_lens, int32_t B,
+                        uint8_t* out)
+{
+    int64_t pos = 0;
+    for (int32_t b = 0; b < B; ++b) {
+        if (n_sym[b] == 0) continue;
+        std::memcpy(out + pos, &n_sym[b], 8); pos += 8;
+        int16_t tl = (int16_t)tree_lens[b];
+        std::memcpy(out + pos, &tl, 2); pos += 2;
+        std::memcpy(out + pos, trees + (int64_t)b * tree_stride,
+                    (size_t)(2 * tl));
+        pos += 2 * tl;
+        std::memcpy(out + pos, payloads + (int64_t)b * payload_stride,
+                    (size_t)payload_lens[b]);
+        pos += payload_lens[b];
+    }
+    return pos;
+}
+
 }  // extern "C"

@@ -90,9 +90,10 @@ def test_decode_matches_reference_on_trailing_block():
 
 # --- decode_v3 kernel internals -------------------------------------------
 
-def test_chain_emit_matches_numpy_reference():
+@pytest.mark.parametrize("packed", [True, False])
+def test_chain_emit_matches_numpy_reference(packed):
     """The Pallas is_start recurrence + fused group emission against a
-    direct sequential walk."""
+    direct sequential walk (both meta-plane layouts)."""
     import jax.numpy as jnp
     from libhuffman_tpu.ops import decode_v3 as ddec
 
@@ -101,15 +102,18 @@ def test_chain_emit_matches_numpy_reference():
     lens = rng.integers(2, MAXL + 1, (B, NP)).astype(np.uint8)
     lens[0, 5] = 0  # a dead position: the chain must stop if it lands here
     syms = rng.integers(0, 256, (B, NP)).astype(np.uint8)
-    bad = (rng.random((B, NP)) < 0.02).astype(np.int32)
-    symbf = syms.astype(np.int32) | (bad << 15)
-    meta = (lens.astype(np.uint32) | (symbf.astype(np.uint32) << 8))
+    if packed:
+        sched = np.where(lens > 0, 1 << np.maximum(
+            lens.astype(np.uint32), 1) - 1, 0).astype(np.uint32)
+        meta = sched | (syms.astype(np.uint32) << 24)
+    else:
+        meta = (lens.astype(np.uint32)
+                | (syms.astype(np.uint32) << 8))
 
-    start_w, gw, gc, gb = ddec.chain_emit(jnp.asarray(meta.T))
+    start_w, gw, gr = ddec.chain_emit(jnp.asarray(meta.T), packed)
     start_w = np.asarray(start_w)
-    gw = np.asarray(gw).T  # (B, NG)
-    gc = np.asarray(gc).T
-    gb = np.asarray(gb).T
+    gw = np.asarray(gw).T  # (B, NG) right-aligned insertion order
+    gr = np.asarray(gr).T  # (B, NG) running totals
     got = np.zeros((B, NP), bool)
     for wi in range(NP // 32):
         for t in range(32):
@@ -124,17 +128,15 @@ def test_chain_emit_matches_numpy_reference():
                 break
             p += int(lens[b, p])
         assert np.array_equal(got[b], expect), b
+        running = 0
         for g in range(NP // 8):
             members = [p for p in range(8 * g, 8 * g + 8) if expect[p]]
-            assert gc[b, g] == len(members), (b, g)
+            running += len(members)
+            assert gr[b, g] == running, (b, g)
             w = 0
-            bm = 0
-            for i, p in enumerate(members):
-                w |= int(syms[b, p]) << (24 - 8 * i)
-                if bad[b, p]:
-                    bm |= 1 << (p % 8)
+            for p in members:
+                w = ((w << 8) | int(syms[b, p])) & 0xFFFFFFFF
             assert gw[b, g] == w, (b, g)
-            assert gb[b, g] == bm, (b, g)
 
 
 def test_resolve_blocks_matches_table_walk():
