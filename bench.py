@@ -52,39 +52,43 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _corpora():
+    """Load bench/corpora.py (the bench/ dir is shadowed by this module's
+    name, so spec-load it by path)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_corpora",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench", "corpora.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def corpus(n_bytes: int) -> bytes:
     for cand in (os.environ.get("ENWIK8"), "enwik8", "/root/enwik8",
                  "/tmp/enwik8"):
         if cand and os.path.exists(cand):
             with open(cand, "rb") as f:
                 return f.read(n_bytes)
-    # Deterministic enwik-like text: Zipf-weighted word vocabulary over a
-    # full-width byte alphabet.  enwik8 blocks have ~205 distinct bytes
-    # (letters dominate, then markup/digits, then a long tail of rare
-    # UTF-8 bytes) producing Huffman trees 12-16 deep; a letters-only
+    # Deterministic enwik-like text (bench/corpora.py): Zipf-weighted word
+    # vocabulary over a full-width byte alphabet.  enwik8 blocks have ~205
+    # distinct bytes producing Huffman trees 12-16 deep; a letters-only
     # corpus gives 27 symbols and depth ~7, which understates decode work
     # (measured round 3: tree-shape analysis in bench/probe_r3 notes).
-    rng = np.random.default_rng(42)
-    letters = np.frombuffer(b"etaoinshrdlcumwfgypbvkjxqz", np.uint8)
-    markup = np.frombuffer(b"<>/=\"'[]{}|&#;:.,()-_0123456789ABCDEFGHIJKLMN",
-                           np.uint8)
-    vocab = []
-    for i in range(4096):
-        ln = 1 + int(rng.integers(1, 9))
-        word = bytes(rng.choice(letters, ln))
-        r = i % 16
-        if r == 13:  # markup-ish token
-            word = bytes(rng.choice(markup, max(2, ln)))
-        elif r == 15:  # rare high-byte (UTF-8-ish) token tail
-            word = bytes(rng.integers(128, 256, 2, dtype=np.uint8).tolist())
-        vocab.append(word + b" ")
-    ranks = np.arange(1, 4097, dtype=np.float64)
-    probs = (1 / ranks) / (1 / ranks).sum()
-    words = rng.choice(4096, size=n_bytes // 5, p=probs)
-    out = b"".join(vocab[w] for w in words)
-    while len(out) < n_bytes:
-        out += out
-    return out[:n_bytes]
+    return _corpora().text(n_bytes)
+
+
+def mixed_corpus(n_bytes: int) -> bytes:
+    """Silesia-like composite (bench/corpora.py): near-incompressible
+    sensor data + text + zero-heavy binary records, 256 KiB segments."""
+    for cand in (os.environ.get("SILESIA"), "silesia.tar",
+                 "/root/silesia.tar"):
+        if cand and os.path.exists(cand):
+            with open(cand, "rb") as f:
+                return f.read(n_bytes)
+    return _corpora().mixed(n_bytes)
 
 
 def time_call(fn, *args, repeat=2):
@@ -269,6 +273,41 @@ def main():
     t_dec_dev = n / dec_dev_gbps / 1e9 if dec_dev_bytes else float("inf")
     gbps = n / (t_enc_dev + t_dec_dev) / 1e9
 
+    # Second corpus family: Silesia-like mixed binary (near-incompressible
+    # + text + zero-heavy records) — different tree-shape regime than the
+    # enwik-like headline corpus (VERDICT r3 item 7).
+    corpora_rows = {}
+    mix_mb = int(os.environ.get("BENCH_MIX_MB", "32"))
+    if mix_mb:
+        mdata = mixed_corpus(mix_mb << 20)
+        menc = enc_mod.encode(mdata, bs)
+        assert dec_mod.decode(menc) == mdata, "mixed-corpus roundtrip"
+        m_exact = None
+        if os.environ.get("BENCH_SKIP_REF") != "1":
+            try:
+                from oracle import ref_compress as _rc
+
+                om = (min(4 << 20, len(mdata)) // bs) * bs
+                m_exact = _rc(mdata[:om], bs) == enc_mod.encode(
+                    mdata[:om], bs)
+                assert m_exact, "mixed-corpus wire mismatch vs reference"
+            except AssertionError:
+                raise
+            except Exception:
+                m_exact = None
+        mbuf = np.frombuffer(mdata, np.uint8)
+        m_enc = bench_encode_device(mbuf, bs, repeat=2)
+        m_dec, m_bytes, m_hostdev = bench_decode_device(menc, repeat=2)
+        corpora_rows["silesia-mixed"] = {
+            "bytes": len(mdata),
+            "encode_gbps": round(m_enc, 4),
+            "decode_gbps": round(m_dec, 4),
+            "decode_hostdev_gbps": round(m_hostdev, 4),
+            "ratio": round(len(menc) / len(mdata), 4),
+            "wire_exact_vs_oracle": m_exact,
+            "decode_device_out_bytes": m_bytes,
+        }
+
     scaling = None
     if os.environ.get("BENCH_SCALING") != "0":
         import subprocess
@@ -332,6 +371,7 @@ def main():
             "device": str(jax.devices()[0]),
             "note": "host<->device link here is a ~0.04 GB/s network tunnel"
                     " (PERF.md); e2e_* include it, device numbers do not",
+            **({"corpora": corpora_rows} if corpora_rows else {}),
             **({"scaling": scaling} if scaling else {}),
             **({"phases": phases} if phases else {}),
         },

@@ -52,17 +52,29 @@ def main():
     batch = data[: nblk * bs].reshape(nblk, bs)
     n_valid = np.full(nblk, bs, np.int32)
 
+    from libhuffman_tpu.parallel.shard import assemble_stream
+
     results = {}
     for nd in (1, 8):
         mesh = block_mesh(jax.devices()[:nd])
         encode_sharded(batch, n_valid, mesh, words_per_block=bs // 4)  # warm
         best = float("inf")
+        best_asm = float("inf")
         for rep in range(2):
             salted = batch ^ np.uint8(rep + 1)
             t0 = time.perf_counter()
-            encode_sharded(salted, n_valid, mesh, words_per_block=bs // 4)
-            best = min(best, time.perf_counter() - t0)
+            res = encode_sharded(salted, n_valid, mesh,
+                                 words_per_block=bs // 4)
+            t1 = time.perf_counter()
+            # The part that costs at scale beyond the device step: ordered
+            # host assembly of the sharded outputs (the multihost gather's
+            # local equivalent; sizes-only across hosts — SURVEY.md §5.8).
+            assemble_stream(n_valid, res[1], res[0], res[2], res[3],
+                            res[4], res[5], salted)
+            best = min(best, t1 - t0)
+            best_asm = min(best_asm, time.perf_counter() - t1)
         results[f"t{nd}"] = best
+        results[f"asm{nd}"] = best_asm
 
     overhead = results["t8"] / results["t1"]
     print(json.dumps({
@@ -70,9 +82,13 @@ def main():
         "t1_s": round(results["t1"], 3),
         "t8_s": round(results["t8"], 3),
         "shard_overhead_ratio": round(overhead, 3),
+        "assembly_t1_s": round(results["asm1"], 3),
+        "assembly_t8_s": round(results["asm8"], 3),
         "note": "8 virtual devices share one CPU: ratio ~1.0 = zero-overhead"
                 " partitioning (no collectives on the block axis); real-chip"
-                " scaling efficiency ~ 1/ratio",
+                " scaling efficiency ~ 1/ratio.  assembly_* = ordered host"
+                " assembly wall (the cross-host cost is sizes-only,"
+                " parallel/multihost.py)",
     }))
 
 

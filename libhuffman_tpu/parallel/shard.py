@@ -138,6 +138,18 @@ def assemble_stream(n_valid, total_bits, payload, left, right, root,
     """
     from ..format import ArrayTree, pack_block, serialize_tree
     from ..ops import hostref
+    from .. import native
+
+    if native.available() and not np.asarray(overflow).any():
+        # Whole-batch native assembly (one pass; encode.py's fast path).
+        trees, lens_t = native.serialize_trees(
+            np.ascontiguousarray(left, np.int32),
+            np.ascontiguousarray(right, np.int32),
+            np.ascontiguousarray(root, np.int32))
+        plens = (np.asarray(total_bits).astype(np.int64) + 7) // 8
+        return native.assemble_blocks(
+            np.asarray(n_valid).astype(np.uint64), trees, lens_t,
+            np.ascontiguousarray(payload, np.uint8), plens)
 
     out = []
     for b in range(len(n_valid)):

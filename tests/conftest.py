@@ -25,9 +25,12 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the CPU-backend kernel compiles dominate suite
-# wall time; warm runs skip them.
+# wall time; warm runs skip them.  The directory is keyed by jax version so
+# a cache written by a different jax never gets read back (a corrupt/stale
+# cache segfaulted a round-3 run inside the cache read path).
+_cache_root = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_cache_tests")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_cache_tests"))
+                  os.path.join(_cache_root, "v-" + jax.__version__))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

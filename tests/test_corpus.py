@@ -24,6 +24,9 @@ from oracle import ref_compress
 
 _RUN = (jax.default_backend() != "cpu"
         or os.environ.get("LIBHUFFMAN_CORPUS_TEST") == "1")
+# CI shrinks the corpus-scale sweep to CPU-tractable sizes (the TPU bench
+# covers the full size); default stays 16 MB.
+_MB = int(os.environ.get("LIBHUFFMAN_CORPUS_MB", "16"))
 
 
 def _corpus(n_bytes: int) -> bytes:
@@ -43,7 +46,39 @@ def _corpus(n_bytes: int) -> bytes:
 @pytest.mark.skipif(not _RUN, reason="CPU interpret mode is impractical at "
                     "16 MB; runs on TPU and under LIBHUFFMAN_CORPUS_TEST=1")
 def test_16mb_text_oracle_exact_roundtrip():
-    data = _corpus(16 << 20)
+    data = _corpus(_MB << 20)
+    ours = enc_mod.encode(data, 65536)
+    assert ours == ref_compress(data, 65536)
+    assert dec_mod.decode(ours) == data
+
+
+def _families():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_corpora",
+        pathlib.Path(__file__).resolve().parent.parent / "bench"
+        / "corpora.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.FAMILIES
+
+
+@pytest.mark.parametrize("fam", ["xray", "samba", "mixed"])
+def test_family_small_oracle_exact(fam):
+    # CPU-scale slice of every corpus family (the full-size sweep runs on
+    # TPU / LIBHUFFMAN_CORPUS_TEST); pins wire-exactness on the
+    # near-incompressible, zero-heavy, and composite regimes.
+    data = _families()[fam](256 << 10)
+    ours = enc_mod.encode(data, 65536)
+    assert ours == ref_compress(data, 65536)
+    assert dec_mod.decode(ours) == data
+
+
+@pytest.mark.skipif(not _RUN, reason="see above")
+def test_mixed_family_corpus_scale():
+    data = _families()["mixed"](_MB << 20)
     ours = enc_mod.encode(data, 65536)
     assert ours == ref_compress(data, 65536)
     assert dec_mod.decode(ours) == data
@@ -51,8 +86,9 @@ def test_16mb_text_oracle_exact_roundtrip():
 
 @pytest.mark.skipif(not _RUN, reason="see above")
 def test_16mb_mixed_blocksizes_oracle_exact():
-    data = _corpus(8 << 20) + np.random.default_rng(7).integers(
-        0, 256, 8 << 20, np.uint8).tobytes()
+    half = (_MB << 20) // 2
+    data = _corpus(half) + np.random.default_rng(7).integers(
+        0, 256, half, np.uint8).tobytes()
     for bs in (4096, 131072):
         ours = enc_mod.encode(data, bs)
         assert ours == ref_compress(data, bs)
