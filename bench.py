@@ -33,6 +33,7 @@ Environment knobs: BENCH_MB (corpus size cap, default 100), BENCH_BLOCK
 BENCH_ORACLE_MB (exactness prefix, default 16).
 """
 
+import functools
 import json
 import os
 import sys
@@ -134,22 +135,24 @@ def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
         P *= 2
     W = min(P, capw * max(P // 64, 1))
 
-    @jax.jit
-    def checksum(res):
-        payload, total_bits, left, right, root, overflow = res
+    # ONE dispatch per batch: encode + checksum nested under a single jit
+    # (a separate jitted checksum call costs a second ~23.5 ms RTT).
+    @functools.partial(jax.jit, static_argnums=())
+    def enc_check(b, nv, salt):
+        payload, total_bits, left, right, root, overflow = (
+            dev.encode_blocks(b ^ salt, nv, W, capw))
         return (jnp.sum(payload.astype(jnp.uint32)) + jnp.sum(total_bits)
                 + jnp.sum(root) + jnp.sum(overflow.astype(jnp.uint32)))
 
     # Warm/compile; every timed repetition transfers a scalar checksum —
     # block_until_ready can return early on the axon tunnel (PERF.md §1).
     for b, nv in batches:
-        np.asarray(checksum(dev.encode_blocks(b, nv, W, capw)))
+        np.asarray(enc_check(b, nv, jnp.uint8(0)))
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint8(rep + 1)  # defeat dispatch coalescing
         t0 = time.perf_counter()
-        acc = [checksum(dev.encode_blocks(b ^ salt, nv, W, capw))
-               for b, nv in batches]
+        acc = [enc_check(b, nv, salt) for b, nv in batches]
         _ = [np.asarray(a) for a in acc]
         best = min(best, time.perf_counter() - t0)
     return n / best / 1e9
@@ -190,24 +193,27 @@ def bench_decode_device(enc: bytes, repeat=3):
     shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
     from libhuffman_tpu.ops import decode_v3 as ddec
 
-    @jax.jit
-    def checksum_many(results):
+    # One fused dispatch for the whole stream, checksum included (dispatch
+    # latency is a flat ~23.5 ms that does not pipeline, and a separate
+    # jitted checksum call would pay it twice; bench/probe_r4_dispatch.py).
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=(2,))
+    def dec_check(arrs, salt, shp):
+        salted = tuple((w ^ salt, t, ns) for (w, t, ns) in arrs)
         acc = jnp.uint32(0)
-        for out, end_bit, corrupt, bad_bit in results:
+        for out, end_bit, corrupt, bad_bit in ddec.decode_blocks_many(
+                salted, shp):
             acc = (acc + jnp.sum(out.astype(jnp.uint32))
                    + jnp.sum(end_bit.astype(jnp.uint32))
                    + jnp.sum(bad_bit.astype(jnp.uint32)))
         return acc
 
-    # One fused dispatch for the whole stream (dispatch latency is a flat
-    # ~23.5 ms that does not pipeline; bench/probe_r4_dispatch.py).
-    np.asarray(checksum_many(ddec.decode_blocks_many(arrays, shapes)))
+    np.asarray(dec_check(arrays, jnp.uint32(0), shapes))
     best = float("inf")
     for rep in range(repeat):
-        salt = jnp.uint32(rep + 1)  # defeat dispatch coalescing
-        salted = tuple((w ^ salt, t, ns) for (w, t, ns) in arrays)
         t0 = time.perf_counter()
-        np.asarray(checksum_many(ddec.decode_blocks_many(salted, shapes)))
+        np.asarray(dec_check(arrays, jnp.uint32(rep + 1), shapes))
         best = min(best, time.perf_counter() - t0)
 
     # Host-side output assembly, timed on pre-transferred results so only

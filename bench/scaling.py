@@ -60,7 +60,10 @@ def main():
         encode_sharded(batch, n_valid, mesh, words_per_block=bs // 4)  # warm
         best = float("inf")
         best_asm = float("inf")
-        for rep in range(2):
+        # best-of-4: single measurements on this shared-CPU host swing
+        # 1.0-1.4x with background load (the round-3 1.195-vs-1.002
+        # discrepancy was exactly this noise, one number per run).
+        for rep in range(4):
             salted = batch ^ np.uint8(rep + 1)
             t0 = time.perf_counter()
             res = encode_sharded(salted, n_valid, mesh,

@@ -198,8 +198,12 @@ def _payload_cap(c: _Candidate, depth: int, next_off: int | None) -> int:
 
 
 def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
-    """Shape-homogeneous device batches from eligible candidates."""
-    eligible = sorted(eligible, key=lambda e: e[2])
+    """Shape-homogeneous device batches from eligible candidates.
+
+    Sorted by (stage count, cap): batching same-NS blocks together keeps
+    shallow-tree blocks off the deeper (more expensive) resolve cascades —
+    a plan's NS is the max over its batch."""
+    eligible = sorted(eligible, key=lambda e: (e[3], e[2]))
     plans = []
     i = 0
     while i < len(eligible):

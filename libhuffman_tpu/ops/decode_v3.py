@@ -61,11 +61,12 @@ def _interpret() -> bool:
 # Kernel 1: per-position resolve
 # --------------------------------------------------------------------------
 
-# Word rows per tile: 64*128 words = 262144 positions per grid step.  Wider
-# tiles amortize per-instruction issue overhead (a (16, 128) operand is only
-# 2 VPU-cycles of work per op; measured round 4, the 16-row kernel ran ~10x
-# below the VPU elementwise roofline purely on issue overhead).
-_RW_MAX = 64
+# Word rows per tile: 128*128 words = 524288 positions per grid step.
+# Wider tiles amortize per-instruction issue overhead (a (16, 128) operand
+# is only 2 VPU-cycles of work per op; measured round 4, the 16-row kernel
+# ran ~10x below the VPU elementwise roofline purely on issue overhead).
+# Out block (1, 32, 128, 128) u16 = 1 MB — well within VMEM double-buffer.
+_RW_MAX = 128
 
 
 def _permute128(row, idx):
@@ -330,8 +331,14 @@ def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int):
 
 
 def _gather_rows_small(arr: jax.Array, idx: jax.Array) -> jax.Array:
-    """(B, N) per-block scalar pick — B lookups, cold path."""
-    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    """(B, N) per-block scalar pick via masked reduce.
+
+    One fused full pass per pick; jnp.take_along_axis lowers to a TPU
+    gather measured at ~0.07 G/s (bench/probe_primitives.py) whose setup
+    dominated the decode bookkeeping phase."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    return jnp.sum(
+        jnp.where(iota == idx[:, None], arr, jnp.zeros_like(arr)), axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
