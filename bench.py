@@ -135,24 +135,33 @@ def bench_encode_device(data: np.ndarray, bs: int, repeat=3):
         P *= 2
     W = min(P, capw * max(P // 64, 1))
 
-    # ONE dispatch per batch: encode + checksum nested under a single jit
-    # (a separate jitted checksum call costs a second ~23.5 ms RTT).
+    # ONE dispatch per fused group: encode + checksum nested under a
+    # single jit (a separate jitted checksum call, or one dispatch per
+    # sub-batch, costs an extra flat ~23.5 ms RTT each).
     @functools.partial(jax.jit, static_argnums=())
-    def enc_check(b, nv, salt):
-        payload, total_bits, left, right, root, overflow = (
-            dev.encode_blocks(b ^ salt, nv, W, capw))
-        return (jnp.sum(payload.astype(jnp.uint32)) + jnp.sum(total_bits)
-                + jnp.sum(root) + jnp.sum(overflow.astype(jnp.uint32)))
+    def enc_check(bs_nv, salt):
+        acc = jnp.uint32(0)
+        for payload, total_bits, left, right, root, overflow in (
+                dev.encode_blocks_many(
+                    tuple((b ^ salt, nv) for b, nv in bs_nv), W, capw)):
+            acc = (acc + jnp.sum(payload.astype(jnp.uint32))
+                   + jnp.sum(total_bits.astype(jnp.uint32))
+                   + jnp.sum(root.astype(jnp.uint32))
+                   + jnp.sum(overflow.astype(jnp.uint32)))
+        return acc
 
+    FB = enc_mod.FUSE_BATCHES
+    groups = [tuple(batches[g : g + FB])
+              for g in range(0, len(batches), FB)]
     # Warm/compile; every timed repetition transfers a scalar checksum —
     # block_until_ready can return early on the axon tunnel (PERF.md §1).
-    for b, nv in batches:
-        np.asarray(enc_check(b, nv, jnp.uint8(0)))
+    for grp in groups:
+        np.asarray(enc_check(grp, jnp.uint8(0)))
     best = float("inf")
     for rep in range(repeat):
         salt = jnp.uint8(rep + 1)  # defeat dispatch coalescing
         t0 = time.perf_counter()
-        acc = [enc_check(b, nv, salt) for b, nv in batches]
+        acc = [enc_check(grp, salt) for grp in groups]
         _ = [np.asarray(a) for a in acc]
         best = min(best, time.perf_counter() - t0)
     return n / best / 1e9

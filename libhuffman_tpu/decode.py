@@ -208,14 +208,21 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
     i = 0
     while i < len(eligible):
         # Greedy batch under the position budget.  P >= 512 keeps the
-        # resolve kernel's word rows whole (128 words/row).
+        # resolve kernel's word rows whole (128 words/row).  A batch takes
+        # only CONSECUTIVE candidates of the same P bucket: every staged
+        # payload must fit its plan's P words — a cap > P would silently
+        # truncate the payload and let the chain run into zero padding
+        # (accepted as a bogus "complete" decode).
         P = _bucket(eligible[i][2] + 8, 512)
         NP = 8 * P
-        B = max(1, _POSITION_BUDGET // NP)
-        batch = eligible[i : i + B]
-        while _bucket(batch[-1][2] + 8, 512) != P and len(batch) > 1:
-            batch.pop()
-        i += len(batch)
+        Bmax = max(1, _POSITION_BUDGET // NP)
+        j = i
+        while (j < len(eligible) and j - i < Bmax
+               and _bucket(eligible[j][2] + 8, 512) == P):
+            j += 1
+        batch = eligible[i:j]
+        i = j
+        assert all(cap <= P for (_c, _t, cap, _n) in batch)
         B = _bucket(len(batch), 16)
         W = P // 4  # u32 payload words
         tables = np.tile(_pad_table(), (B, 1, 1))

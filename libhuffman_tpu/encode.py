@@ -25,11 +25,13 @@ from .ops import device as dev
 from .ops import hostref
 from .utils.trace import annotate
 
-# Blocks per device batch.  64 KiB x 2048 = 128 MiB of input per dispatch:
-# dispatch latency does not pipeline on this platform (a flat ~23.5 ms RTT
-# per call, measured bench/probe_r4_dispatch.py), so the driver pushes the
-# whole stream through one dispatch whenever it fits.
-DEFAULT_BATCH_BLOCKS = 2048
+# Blocks per device sub-batch.  64 KiB x 256 = 16 MiB: XLA schedules this
+# size ~35% faster per byte than a 1536-block mega-batch (measured round
+# 4).  Dispatch latency (a flat ~23.5 ms RTT that does not pipeline,
+# bench/probe_r4_dispatch.py) amortizes by fusing up to FUSE_BATCHES
+# sub-batches into one dispatch (ops/device.encode_blocks_many).
+DEFAULT_BATCH_BLOCKS = 256
+FUSE_BATCHES = 8
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -51,24 +53,34 @@ def _bucket_blocks(nb: int) -> int:
     return -(-nb // 256) * 256
 
 
-def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
-    """Encode a (B, N) uint8 batch; returns per-block wire bytes."""
-    import jax.numpy as jnp
-
-    N = batch.shape[1]
-    # Packer capacity: 24 words per 64-symbol chunk covers every block whose
-    # mean code length <= 12 bits (text ~4.5, incompressible exactly 8);
-    # rarer blocks overflow the clamp and take the per-block host fallback.
+def _pack_params(N: int) -> tuple[int, int]:
+    """(W, capw) word budget for blocksize N.  capw=24 words per 64-symbol
+    chunk covers every block whose mean code length <= 12 bits (text ~4.5,
+    incompressible exactly 8); rarer blocks take the host fallback."""
     capw = 24
     P = 1
     while P < N:
         P *= 2
-    W = min(P, capw * max(P // 64, 1))
+    return min(P, capw * max(P // 64, 1)), capw
+
+
+def _encode_batch(batch: np.ndarray, n_valid: np.ndarray) -> list[bytes]:
+    """Encode a (B, N) uint8 batch; returns per-block wire bytes."""
+    import jax.numpy as jnp
+
+    W, capw = _pack_params(batch.shape[1])
     with annotate("huff.encode.device"):
-        payload, total_bits, left, right, root, overflow = dev.encode_blocks(
-            jnp.asarray(batch), jnp.asarray(n_valid), W, capw
-        )
-        total_bits_h = np.asarray(total_bits)
+        res = dev.encode_blocks(jnp.asarray(batch), jnp.asarray(n_valid),
+                                W, capw)
+    return _assemble_batch(batch, n_valid, res)
+
+
+def _assemble_batch(batch: np.ndarray, n_valid: np.ndarray,
+                    res) -> list[bytes]:
+    """Transfer + assemble one device batch's results into wire bytes."""
+    W, _capw = _pack_params(batch.shape[1])
+    payload, total_bits, left, right, root, overflow = res
+    total_bits_h = np.asarray(total_bits)
     overflow_h = np.asarray(overflow)
     # Transfer only a bucketed prefix of the padded payload buffer: rows are
     # ragged and the device->host link is the bottleneck (the worst-case
@@ -144,8 +156,9 @@ def encode(
         blocksize = n
     nblocks = -(-n // blocksize)
 
-    chunks: list[bytes] = []
-    for start_blk in range(0, nblocks, batch_blocks):
+    import jax.numpy as jnp
+
+    def make_batch(start_blk: int):
         nb = min(batch_blocks, nblocks - start_blk)
         B = _bucket_blocks(nb)
         batch = np.zeros((B, blocksize), dtype=np.uint8)
@@ -155,5 +168,29 @@ def encode(
             seg = buf[off : off + blocksize]
             batch[i, : len(seg)] = seg
             n_valid[i] = len(seg)
-        chunks.extend(_encode_batch(batch, n_valid))
+        return batch, n_valid
+
+    starts = list(range(0, nblocks, batch_blocks))
+    chunks: list[bytes] = []
+    # Up to FUSE_BATCHES sub-batches per dispatch (one flat ~23.5 ms RTT
+    # each; tuple length is part of the jit key, so group sizes stay few).
+    for g in range(0, len(starts), FUSE_BATCHES):
+        host_batches = [make_batch(s) for s in starts[g : g + FUSE_BATCHES]]
+        if len(host_batches) == 1:
+            chunks.extend(_encode_batch(*host_batches[0]))
+            continue
+        W, capw = _pack_params(blocksize)
+        # Same-shape sub-batches fuse; a ragged tail batch (different B
+        # bucket) dispatches separately rather than forcing a new key.
+        shapes = {b.shape for b, _ in host_batches}
+        fused = [bn for bn in host_batches if bn[0].shape == max(shapes)]
+        rest = [bn for bn in host_batches if bn[0].shape != max(shapes)]
+        with annotate("huff.encode.device"):
+            results = dev.encode_blocks_many(
+                tuple((jnp.asarray(b), jnp.asarray(nv)) for b, nv in fused),
+                W, capw)
+        for (b, nv), res in zip(fused, results):
+            chunks.extend(_assemble_batch(b, nv, res))
+        for b, nv in rest:
+            chunks.extend(_encode_batch(b, nv))
     return b"".join(chunks)

@@ -82,122 +82,195 @@ def _bit_shift(b2, r, axis: int):
     return (b2 >> ru) | ((prev << 1) << (jnp.uint32(31) - ru))
 
 
-def _concat_kernel_body(N: int, OUTW: int):
-    n = N.bit_length() - 1
+def _cap_limit(P: int, N: int, capw: int | None) -> int:
+    """Clamped per-string word capacity at the level with P strings.
 
-    def kernel(w_ref, l_ref, out_ref):
-        x = w_ref[0].reshape(1, N // 128, 128)      # plane-major, cap=1
-        lens = l_ref[0]                              # (N/128, 128)
+    ``capw`` = words per 64 base strings (the encode packer's proven
+    heuristic: text codes average ~4.5 bits, incompressible exactly 8, so
+    24 words/64 symbols covers mean code length <= 12 bits).  Content past
+    the clamp is dropped and the block flagged (overflow output) — the
+    driver re-encodes flagged blocks exactly on the host.
+
+    Levels aggregating fewer than 64 base strings stay exact: variance
+    dominates small sums (four 9-bit codes would overflow a mean-based
+    clamp), and those levels' canvases are cheap anyway — the clamp's
+    savings live at the big-cap levels."""
+    full = N // P
+    if capw is None or full < 64:
+        return full
+    return min(full, max(1, (capw * full) // 64))
+
+
+GB = 8  # blocks per grid step: level op count is constant per step, so
+# stacking blocks divides instruction-issue overhead (measured round 4:
+# ~60% of the single-block kernel's cycles were per-op overhead at these
+# small shapes).  8 sublane-rows also keep every canvas slice tile-aligned.
+
+
+def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None):
+    def kernel(w_ref, l_ref, out_ref, ovf_ref):
+        # Plane-major with a block axis: x (cap, GB, P/128, 128).
+        x = w_ref[:].reshape(1, GB, N // 128, 128)
+        lens = l_ref[:]                              # (GB, N/128, 128)
         P, cap = N, 1
+        ov = jnp.zeros((GB, 1, 128), jnp.int32)
 
         # Plane-major levels: strings split across row halves.
         while P >= 256:
-            xv = x.reshape(cap, 2, P // 256, 128)
-            a = xv[:, 0]
-            b = xv[:, 1]
-            lv = lens.reshape(2, P // 256, 128)
-            la, lb = lv[0], lv[1]
-            z = jnp.zeros_like(b)
-            b2 = jnp.concatenate([b, z], axis=0)     # (2cap, P/256, 128)
-            b2 = _word_barrel(b2, la >> 5, 0, cap)
+            cap2 = _cap_limit(P // 2, N, capw)
+            xv = x.reshape(cap, GB, 2, P // 256, 128)
+            a = xv[:, :, 0]
+            b = xv[:, :, 1]                          # (cap, GB, P/256, 128)
+            lv = lens.reshape(GB, 2, P // 256, 128)
+            la = lv[:, 0]
+            lb = lv[:, 1]                            # (GB, P/256, 128)
+            if cap2 > cap:
+                z = jnp.zeros((cap2 - cap,) + b.shape[1:], jnp.uint32)
+                b2 = jnp.concatenate([b, z], axis=0)
+                a2 = jnp.concatenate([a, z], axis=0)
+            else:
+                # First clamped level can SHRINK capacity (e.g. 32 -> 24
+                # at the 64-string cut): dropped words are overflow, which
+                # the lens check below flags.
+                b2 = b[:cap2]
+                a2 = a[:cap2]
+            b2 = _word_barrel(b2, la >> 5, 0, min(cap, cap2))
             b2 = _bit_shift(b2, la & 31, 0)
-            x = jnp.concatenate([a, jnp.zeros_like(a)], axis=0) | b2
+            x = a2 | b2
             lens = la + lb
+            if cap2 < N // (P // 2):
+                # Clamped level: content past 32*cap2 bits is gone; flag.
+                m = (lens > 32 * cap2).astype(jnp.int32)
+                ov = jnp.maximum(ov, jnp.max(m, axis=1, keepdims=True))
             P //= 2
-            cap *= 2
+            cap = cap2
 
-        # P == 128: switch to string-major (strings on sublanes).
-        x = jnp.transpose(x.reshape(cap, 128))       # (128, cap)
-        lens = jnp.transpose(lens.reshape(1, 128))   # (128, 1)
+        # P == 128: switch to string-major, strings on the middle axis.
+        x = jnp.transpose(x.reshape(cap, GB, 128), (1, 2, 0))  # (GB,128,cap)
+        lens = jnp.transpose(lens, (0, 2, 1))                  # (GB,128,1)
 
-        # Row-sliced halving while the slice offsets stay sublane-tile
-        # aligned (P//2 a multiple of 8); Mosaic rejects lane ops on
-        # vectors whose sublane offset is not 0 mod 8.
+        # Halving levels while the middle-axis slice offsets stay
+        # sublane-tile aligned (P//2 a multiple of 8).
         while P >= 16:
-            a = x[: P // 2]
-            b = x[P // 2:]
-            la = lens[: P // 2]
-            lb = lens[P // 2:]
-            b2 = jnp.concatenate([b, jnp.zeros_like(b)], axis=1)
-            b2 = _word_barrel(b2, la >> 5, 1, cap)
-            b2 = _bit_shift(b2, la & 31, 1)
-            x = jnp.concatenate([a, jnp.zeros_like(a)], axis=1) | b2
+            cap2 = _cap_limit(P // 2, N, capw)
+            a = x[:, : P // 2]
+            b = x[:, P // 2 : P]
+            la = lens[:, : P // 2]
+            lb = lens[:, P // 2 : P]
+            if cap2 > cap:
+                z = jnp.zeros((GB, P // 2, cap2 - cap), jnp.uint32)
+                b2 = jnp.concatenate([b, z], axis=2)
+                a2 = jnp.concatenate([a, z], axis=2)
+            else:
+                b2 = b[:, :, :cap2]
+                a2 = a[:, :, :cap2]
+            b2 = _word_barrel(b2, la >> 5, 2, min(cap, cap2))
+            b2 = _bit_shift(b2, la & 31, 2)
+            x = a2 | b2
             lens = la + lb
+            if cap2 < N // (P // 2):
+                m = (lens > 32 * cap2).astype(jnp.int32)
+                ov = jnp.maximum(ov, jnp.max(m, axis=1, keepdims=True))
             P //= 2
-            cap *= 2
+            cap = cap2
 
-        # Last three levels (8 strings left) on a fixed-width canvas.
-        # Rows are consumed as sublane-replicated broadcasts (replication
-        # erases the offending sublane offsets) and string lengths become
-        # traced scalars; capacity truncates at the output budget — sound
-        # because content only ever moves toward higher words.
+        # Last three levels (8 strings x GB blocks) on a fixed-width
+        # canvas, rows ordered [string, block]: every pair slice is a
+        # contiguous GB-row (= 8-row, tile-aligned) band, so all levels
+        # stay row-parallel with per-block vector shifts — no broadcast
+        # tricks, no per-pair scalar extraction.
         FIN = min(N, max(OUTW, cap))
         if FIN > cap:
             x = jnp.concatenate(
-                [x, jnp.zeros((8, FIN - cap), jnp.uint32)], axis=1)
+                [x, jnp.zeros((GB, 8, FIN - cap), jnp.uint32)], axis=2)
         else:
-            x = x[:, :FIN]
-        # Word placement per pair is a single DYNAMIC lane roll
-        # (pltpu.roll with a traced scalar shift) + wrap mask — not a
-        # log2(FIN)-step select barrel: the canvas levels dominated the
-        # kernel's VMEM traffic (~46 full-canvas ops per pair; now ~8).
-        riota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        laneF = jax.lax.broadcasted_iota(jnp.int32, (8, FIN), 1)
-        lvals = [lens[k, 0] for k in range(8)]
+            x = x[:, :, :FIN]
+        x = jnp.transpose(x, (1, 0, 2)).reshape(8 * GB, FIN)
+        lens2 = jnp.transpose(lens, (1, 0, 2)).reshape(8 * GB, 1)
+        lvals = [lens2[k * GB : (k + 1) * GB] for k in range(8)]
         while P >= 2:
-            xnew = jnp.zeros((8, FIN), jnp.uint32)
+            parts = []
             lnew = []
             for k in range(P // 2):
-                a = jnp.broadcast_to(x[k:k + 1, :], (8, FIN))
-                b = jnp.broadcast_to(x[k + P // 2:k + P // 2 + 1, :],
-                                     (8, FIN))
-                la = lvals[k]
-                # Clamp: content past the output budget truncates (sound,
-                # content only moves toward higher words); FIN masks fully.
-                s = jnp.minimum(la >> 5, FIN)
-                b = jnp.where(laneF >= s, pltpu.roll(b, s, axis=1), 0)
-                prev = jnp.where(laneF >= 1, pltpu.roll(b, 1, axis=1), 0)
-                ru = jnp.uint32(la & 31)
-                b = (b >> ru) | ((prev << 1) << (jnp.uint32(31) - ru))
-                merged = a | b
-                xnew = jnp.where(riota == k, merged, xnew)
+                a = x[k * GB : (k + 1) * GB]
+                b = x[(k + P // 2) * GB : (k + P // 2 + 1) * GB]
+                la = lvals[k]                        # (GB, 1)
+                sw = la >> 5
+                b2 = _word_barrel(b, sw, 1, FIN)
+                # Content shifted past the output budget truncates (sound:
+                # content only moves toward higher words); without this
+                # guard the barrel would WRAP shifts >= 2^nbits.
+                b2 = jnp.where(sw >= FIN, jnp.zeros_like(b2), b2)
+                b2 = _bit_shift(b2, la & 31, 1)
+                parts.append(a | b2)
                 lnew.append(la + lvals[k + P // 2])
-            x = xnew
-            lvals = lnew + lvals[P // 2:]
+            x = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            lvals = lnew
             P //= 2
 
-        out_ref[0] = x[0:1, :OUTW].reshape(OUTW // 128, 128)
+        out_ref[:] = x[:GB, :OUTW].reshape(GB, OUTW // 128, 128)
+        ovf_ref[:] = jnp.broadcast_to(ov, (GB, 8, 128))
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def concat_words(level0: jax.Array, lens: jax.Array, OUTW: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def concat_words_ovf(level0: jax.Array, lens: jax.Array, OUTW: int,
+                     capw: int | None = None):
     """Concatenate N variable-length bitstrings per block.
 
     level0: (B, N) u32 — string p left-aligned (MSB-first), bits past its
             length zero; lens: (B, N) i32 bit lengths (0 = empty), each
             <= 32.  N a power of two >= 256; OUTW a multiple of 128.
-    Returns (B, OUTW) u32 big-endian words of the concatenation (entries
-    past the total length are zero).
+    Returns ((B, OUTW) u32 big-endian words of the concatenation, (B,)
+    bool overflow flags).
+
+    ``capw`` clamps intermediate per-string capacity to capw words per 64
+    base strings: the merge-tree canvas shrinks ~2.7x for typical code
+    lengths (it was the encode packer's dominant cost), and a block whose
+    content exceeds a clamp is flagged — the driver re-encodes flagged
+    blocks exactly on the host (same contract as pack_words_chunked).
     """
     B, N = level0.shape
     assert N >= 256 and N & (N - 1) == 0, N
     assert OUTW % 128 == 0, OUTW
+    Bp = -(-B // GB) * GB  # pad to a whole grid step (zero strings)
+    if Bp != B:
+        level0 = jnp.pad(level0, ((0, Bp - B), (0, 0)))
+        lens = jnp.pad(lens, ((0, Bp - B), (0, 0)))
     w = bitrev_permute(level0)
     l = bitrev_permute(lens.astype(jnp.int32))
-    return pl.pallas_call(
-        _concat_kernel_body(N, OUTW),
-        grid=(B,),
+    words, ovf = pl.pallas_call(
+        _concat_kernel_body(N, OUTW, capw),
+        grid=(Bp // GB,),
         in_specs=[
-            pl.BlockSpec((1, N // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, OUTW // 128, 128), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, OUTW // 128, 128), jnp.uint32),
+        out_specs=[
+            pl.BlockSpec((GB, OUTW // 128, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, OUTW // 128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, 8, 128), jnp.int32),
+        ],
+        # 8 stacked 64Ki-string canvases + live level temporaries exceed
+        # the default 16 MB scoped-vmem budget; the chip has more.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(w.reshape(B, N // 128, 128), l.reshape(B, N // 128, 128)
-      ).reshape(B, OUTW)
+    )(w.reshape(Bp, N // 128, 128), l.reshape(Bp, N // 128, 128))
+    return (words.reshape(Bp, OUTW)[:B],
+            jnp.max(ovf, axis=(1, 2))[:B] > 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def concat_words(level0: jax.Array, lens: jax.Array, OUTW: int) -> jax.Array:
+    """Unclamped concatenation: exact at any code length, never overflows."""
+    words, _ = concat_words_ovf(level0, lens, OUTW, None)
+    return words

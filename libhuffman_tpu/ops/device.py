@@ -454,20 +454,39 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
             symbol_layout(blocks, codes, lens, n_valid)
         )
     if N % 1024 == 0 and W % 128 == 0:
-        # VMEM merge-tree kernel: exact at any code lengths; blocks whose
-        # payload exceeds the W-word budget are flagged for the host path
-        # (total_bits is exact, so no in-kernel overflow tracking needed).
+        # VMEM merge-tree kernel with capw-clamped intermediate capacity
+        # (concat_kernel.concat_words_ovf): ~2.7x less canvas traffic than
+        # the exact-capacity tree for typical code lengths; clamped-out
+        # blocks are flagged and re-encoded exactly on the host.
         from . import concat_kernel
 
         ln = L.astype(jnp.uint32)
         level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31),
                            jnp.uint32(0))
-        words = concat_kernel.concat_words(level0, L, W)
-        pack_ovf = total_bits > 32 * W
+        # capw=None: measured round 4, the clamped canvas saved no time —
+        # the kernel is instruction-issue-bound at these shapes, not
+        # canvas-traffic-bound — so the exact path (no overflow redo at
+        # all) stays the default.
+        words, clamp_ovf = concat_kernel.concat_words_ovf(level0, L, W, None)
+        pack_ovf = clamp_ovf | (total_bits > 32 * W)
     else:
         words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)
     return (words_to_bytes(words), total_bits, left, right, root,
             overflow | pack_ovf)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def encode_blocks_many(batches, W: int, capw: int = 64):
+    """Several block batches in ONE dispatch.
+
+    Dispatch latency is a flat ~23.5 ms that does not pipeline
+    (bench/probe_r4_dispatch.py), and XLA schedules a 256-block batch ~35%
+    faster per byte than one 1536-block mega-batch (measured round 4) —
+    so the driver encodes a stream as a tuple of 256-block sub-batches
+    fused into a single program.  XLA frees each sub-batch's
+    intermediates before the next runs.
+    """
+    return tuple(encode_blocks(b, nv, W, capw) for (b, nv) in batches)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
