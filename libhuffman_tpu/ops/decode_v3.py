@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import concat_kernel, pack_tree
 
-TAB_ROWS = 12  # packed: 4 (LUT10) + 4 (stage 1) + 4 (tail); 2 entries/cell
+TAB_ROWS = 13  # packed: 4 LUT10 + 4 stage1 + 2 tail1(64st) + 3 tails; 2 entries/cell
 # Resolve-depth buckets: NS lookup stages beyond LUT10 cover depth
 # MAXL_OF_NS[NS]; NS is the static jit key (6 variants).
 MAXL_OF_NS = (10, 14, 17, 20, 23, 26)
@@ -100,11 +100,23 @@ def _lookup256p(row, idx):
     return (g >> sh) & jnp.uint32(0xFFFF)
 
 
+def _lookup512p(rows, idx):
+    """512-entry u16 lookup: two chunk permutes over packed rows."""
+    ci = idx >> 1
+    lo = ci & 127
+    g0 = _permute128(rows[0], lo)
+    g1 = _permute128(rows[1], lo)
+    g = jnp.where(ci >= 128, g1, g0)
+    sh = ((idx & 1) << 4).astype(jnp.uint32)
+    return (g >> sh) & jnp.uint32(0xFFFF)
+
+
 def _resolve_kernel_body(NS: int, RW: int):
     def kernel(words_ref, tab_ref, meta_ref):
         lut10 = [tab_ref[0, c:c + 1, :] for c in range(4)]  # (1, 128) rows
         s1 = [tab_ref[0, 4 + c:5 + c, :] for c in range(4)]
-        tail = [tab_ref[0, 8 + k:9 + k, :] for k in range(4)]
+        tail1 = [tab_ref[0, 8 + c:9 + c, :] for c in range(2)]
+        tail = [tab_ref[0, 10 + k:11 + k, :] for k in range(3)]
 
         def tile(t, _):
             w = words_ref[0, pl.ds(t * RW, RW), :]
@@ -129,8 +141,13 @@ def _resolve_kernel_body(NS: int, RW: int):
                 for k in range(2, NS + 1):
                     shift = jnp.uint32(15 - 3 * (k - 2))
                     bits3 = (win >> shift) & 7
-                    idxk = (((e & 31) << 3) | bits3).astype(jnp.int32)
-                    ek = _lookup256p(tail[k - 2], idxk)
+                    if k == 2:
+                        # Tail 1 (cut 14) admits 64 states: 512 entries.
+                        idxk = (((e & 63) << 3) | bits3).astype(jnp.int32)
+                        ek = _lookup512p(tail1, idxk)
+                    else:
+                        idxk = (((e & 31) << 3) | bits3).astype(jnp.int32)
+                        ek = _lookup256p(tail[k - 3], idxk)
                     e = jnp.where(e & _DONE != 0, e, ek)
                 # Raw 16-bit table entries; the XLA glue in decode_blocks
                 # translates to (len, sym, bad/fail) planes — elementwise

@@ -283,8 +283,9 @@ static void walk_entry(const uint32_t* nodes, int32_t nt, int32_t start_node,
     *end_node = node;
 }
 
-static const int32_t TAB_ROWS = 12;   // packed: 4 (LUT10) + 4 (stage 1) + 4 (tail)
-static const int32_t LOGI_ROWS = 24;  // logical: 8 + 8 + 4*2
+static const int32_t TAB_ROWS = 13;   // packed: 4 (LUT10) + 4 (stage 1)
+                                      // + 2 (tail 1: 64st) + 3 (tails 2-4)
+static const int32_t LOGI_ROWS = 26;  // logical: 8 + 8 + 4 + 3*2
 
 static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                                            int32_t* tables)  // [LOGI_ROWS*128]
@@ -295,6 +296,10 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
     int32_t states[64];  // internal nodes at the current cut
     int32_t n_states = 0;
     int32_t next_states[64];
+    // Tail stage 1 (cut 14) admits 64 states (512-entry table, measured:
+    // enwik-like 64 KiB blocks reach 34 internal nodes at depth 14);
+    // later cuts decay fast and keep 32.
+    const int32_t TAIL1_CAP = 64;
     const int32_t TAIL_CAP = 32;
 
     // LUT10 from the root (rows 0..7).
@@ -332,7 +337,7 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                 for (int32_t t = 0; t < n_next; ++t)
                     if (next_states[t] == end) { sid = t; break; }
                 if (sid < 0) {
-                    if (n_next >= TAIL_CAP) return -1;
+                    if (n_next >= TAIL1_CAP) return -1;
                     sid = n_next;
                     next_states[n_next++] = end;
                 }
@@ -343,19 +348,23 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
     for (int32_t t = 0; t < n_next; ++t) states[t] = next_states[t];
     n_states = n_next;
 
-    // Tail stages (rows 16..23): 32 states x 3 bits, cuts 14/17/20/23.
+    // Tail stages, cuts 14/17/20/23: stage 1 = 64 states x 3 bits
+    // (512 entries, logical rows 16..19); stages 2..4 = 32 states x 3
+    // bits (256 entries each, logical rows 20..25).
     int32_t ns = 1;
     int32_t depth = 14;
     while (n_states > 0) {
         if (ns >= 5) return -1;  // depth > 26
-        int32_t* tab = tables + (16 + 2 * (ns - 1)) * 128;
+        int32_t* tab = (ns == 1)
+            ? tables + 16 * 128
+            : tables + (20 + 2 * (ns - 2)) * 128;
         n_next = 0;
         for (int32_t s = 0; s < n_states; ++s) {
             for (uint32_t v = 0; v < 8; ++v) {
                 int32_t term, bad, lnfail, sym, end;
                 walk_entry(nodes, nt, states[s], depth, v, 3,
                            &term, &bad, &lnfail, &sym, &end);
-                int32_t idx = (s << 3) | (int32_t)v;  // [0, 256)
+                int32_t idx = (s << 3) | (int32_t)v;
                 if (term) {
                     tab[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
                 } else {
@@ -388,17 +397,29 @@ int32_t build_decode_tables(const uint32_t* nodes, int32_t nt,
     int32_t ns = build_decode_tables_logical(nodes, nt, logical);
     if (ns < 0) return ns;
     // LUT10 entries 0..1023 -> cells 0..511 (rows 0..3); stage-1 entries
-    // 1024..2047 -> cells 512..1023 (rows 4..7); tail stage k entries
-    // (16+2k)*128 .. +256 -> cells 1024+128k .. +128 (rows 8..11).
+    // 1024..2047 -> cells 512..1023 (rows 4..7); tail-1 entries (512,
+    // logical rows 16..19) -> cells 1024..1279 (rows 8..9); tail stages
+    // 2..4 (256 each, logical rows 20..25) -> cells 1280+128k (rows
+    // 10..12).
     for (int32_t i = 0; i < 2048; ++i) {
         uint32_t e = (uint32_t)logical[i] & 0xFFFFu;
         uint32_t* cell = tables + (i >> 1);
         if ((i & 1) == 0) *cell = e;
         else *cell |= e << 16;
     }
-    for (int32_t k = 0; k < 4; ++k) {
-        const int32_t* src = logical + (16 + 2 * k) * 128;
-        uint32_t* dst = tables + 1024 + 128 * k;
+    {
+        const int32_t* src = logical + 16 * 128;
+        uint32_t* dst = tables + 1024;
+        for (int32_t i = 0; i < 512; ++i) {
+            uint32_t e = (uint32_t)src[i] & 0xFFFFu;
+            uint32_t* cell = dst + (i >> 1);
+            if ((i & 1) == 0) *cell = e;
+            else *cell |= e << 16;
+        }
+    }
+    for (int32_t k = 0; k < 3; ++k) {
+        const int32_t* src = logical + (20 + 2 * k) * 128;
+        uint32_t* dst = tables + 1280 + 128 * k;
         for (int32_t i = 0; i < 256; ++i) {
             uint32_t e = (uint32_t)src[i] & 0xFFFFu;
             uint32_t* cell = dst + (i >> 1);

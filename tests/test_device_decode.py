@@ -178,16 +178,19 @@ def test_resolve_blocks_matches_table_walk():
         return (cell >> (16 * (i & 1))) & 0xFFFF
 
     def table_resolve(w32):
-        # Packed layout: LUT10 cells [0,512), stage1 [512,1024),
-        # tail k at [1024 + 128k, ...) (native build_decode_tables).
+        # Packed layout: LUT10 cells [0,512), stage1 [512,1024), tail 1
+        # (64 states) [1024,1280), tails 2-4 at [1280 + 128k, ...)
+        # (native build_decode_tables).
         e = ent((w32 >> 22) & 1023, 0)
         k = 1
         while not (e & (1 << 15)):
+            bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
             if k == 1:
                 e = ent(((e & 63) << 4) | ((w32 >> 18) & 15), 512)
+            elif k == 2:
+                e = ent(((e & 63) << 3) | bits3, 1024)
             else:
-                bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
-                e = ent(((e & 31) << 3) | bits3, 1024 + 128 * (k - 2))
+                e = ent(((e & 31) << 3) | bits3, 1280 + 128 * (k - 3))
             k += 1
         return e
 
