@@ -138,7 +138,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             c.error = BtreeCorruptedError
             continue
         if ns < 0:
-            # 1-bit codes, over-capacity state cuts, or depth > 26
+            # 1-bit codes, over-capacity state cuts, or depth > 25
             # (crafted trees): host-exact path.
             c.fallback = True
             continue

@@ -132,11 +132,11 @@ def scan_stream(data: np.ndarray, decode: bool = False, out_cap: int = 0,
     return err, consumed.value, produced.value, blocks.value, out
 
 
-# Packed: 4 rows LUT10 + 4 rows stage 1 (64st x 4b) + 2 rows tail 1
+# Packed: 4 rows LUT10 + 4 rows stage 1 (128st x 3b) + 2 rows tail 1
 # (64st x 3b) + 3 rows tails 2-4 (32st x 3b); two 16-bit entries per u32
 # lane cell (native build_decode_tables).
 TAB_ROWS = 13
-MAX_TABLE_DEPTH = 26  # 10 + 4 + 4*3; deeper codes -> host-exact fallback
+MAX_TABLE_DEPTH = 25  # 10 + 5*3; deeper codes -> host-exact fallback
 
 
 def build_decode_tables(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):

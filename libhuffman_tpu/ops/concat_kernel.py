@@ -208,7 +208,16 @@ def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None):
             lvals = lnew
             P //= 2
 
-        out_ref[:] = x[:GB, :OUTW].reshape(GB, OUTW // 128, 128)
+        if OUTW > FIN:
+            # OUTW can exceed the N-word content bound (e.g. a speculative
+            # decode plan whose payload cap is far below its n_sym budget):
+            # the concatenation can never fill the budget; zero-pad.
+            xout = jnp.concatenate(
+                [x[:GB, :FIN],
+                 jnp.zeros((GB, OUTW - FIN), jnp.uint32)], axis=1)
+        else:
+            xout = x[:GB, :OUTW]
+        out_ref[:] = xout.reshape(GB, OUTW // 128, 128)
         ovf_ref[:] = jnp.broadcast_to(ov, (GB, 8, 128))
 
     return kernel

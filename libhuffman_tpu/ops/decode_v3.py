@@ -47,7 +47,7 @@ from . import concat_kernel, pack_tree
 TAB_ROWS = 13  # packed: 4 LUT10 + 4 stage1 + 2 tail1(64st) + 3 tails; 2 entries/cell
 # Resolve-depth buckets: NS lookup stages beyond LUT10 cover depth
 # MAXL_OF_NS[NS]; NS is the static jit key (6 variants).
-MAXL_OF_NS = (10, 14, 17, 20, 23, 26)
+MAXL_OF_NS = (10, 13, 16, 19, 22, 25)
 
 _DONE = 1 << 15
 _BAD = 1 << 14
@@ -134,15 +134,16 @@ def _resolve_kernel_body(NS: int, RW: int):
                 idx10 = (win >> jnp.uint32(22)).astype(jnp.int32)
                 e = _lookup1024p(lut10, idx10)
                 if NS >= 1:
-                    idx2 = (((e & 63) << 4)
-                            | ((win >> jnp.uint32(18)) & 15)).astype(jnp.int32)
+                    # Stage 1: 128 states x 3 bits (cut 10 -> 13).
+                    idx2 = (((e & 127) << 3)
+                            | ((win >> jnp.uint32(19)) & 7)).astype(jnp.int32)
                     e2 = _lookup1024p(s1, idx2)
                     e = jnp.where(e & _DONE != 0, e, e2)
                 for k in range(2, NS + 1):
-                    shift = jnp.uint32(15 - 3 * (k - 2))
+                    shift = jnp.uint32(16 - 3 * (k - 2))
                     bits3 = (win >> shift) & 7
                     if k == 2:
-                        # Tail 1 (cut 14) admits 64 states: 512 entries.
+                        # Tail 1 (cut 13) admits 64 states: 512 entries.
                         idxk = (((e & 63) << 3) | bits3).astype(jnp.int32)
                         ek = _lookup512p(tail1, idxk)
                     else:

@@ -293,12 +293,15 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
     const int32_t DONE = 1 << 15, BAD = 1 << 14;
     for (int32_t i = 0; i < LOGI_ROWS * 128; ++i) tables[i] = DONE | BAD;
 
-    int32_t states[64];  // internal nodes at the current cut
+    int32_t states[128];  // internal nodes at the current cut
     int32_t n_states = 0;
-    int32_t next_states[64];
-    // Tail stage 1 (cut 14) admits 64 states (512-entry table, measured:
-    // enwik-like 64 KiB blocks reach 34 internal nodes at depth 14);
-    // later cuts decay fast and keep 32.
+    int32_t next_states[128];
+    // Measured state populations (round 4): near-incompressible 64 KiB
+    // blocks (12-bit sensor data) reach 86 internal nodes at depth 10;
+    // enwik-like text blocks reach 34 at depth 14.  Caps: 128 at cut 10
+    // (3-bit stage 1 keeps the table at 1024 entries), 64 at cut 13,
+    // 32 at the later cuts (they decay fast).
+    const int32_t LUT10_CAP = 128;
     const int32_t TAIL1_CAP = 64;
     const int32_t TAIL_CAP = 32;
 
@@ -313,7 +316,7 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
             for (int32_t s = 0; s < n_states; ++s)
                 if (states[s] == end) { sid = s; break; }
             if (sid < 0) {
-                if (n_states >= 64) return -1;
+                if (n_states >= LUT10_CAP) return -1;
                 sid = n_states;
                 states[n_states++] = end;
             }
@@ -322,14 +325,14 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
     }
     if (n_states == 0) return 0;
 
-    // Stage 1 (rows 8..15): 64 states x 4 bits, depth cut 10 -> 14.
+    // Stage 1 (logical rows 8..15): 128 states x 3 bits, cut 10 -> 13.
     int32_t n_next = 0;
     for (int32_t s = 0; s < n_states; ++s) {
-        for (uint32_t v = 0; v < 16; ++v) {
+        for (uint32_t v = 0; v < 8; ++v) {
             int32_t term, bad, lnfail, sym, end;
-            walk_entry(nodes, nt, states[s], 10, v, 4,
+            walk_entry(nodes, nt, states[s], 10, v, 3,
                        &term, &bad, &lnfail, &sym, &end);
-            int32_t idx = 1024 + ((s << 4) | (int32_t)v);
+            int32_t idx = 1024 + ((s << 3) | (int32_t)v);
             if (term) {
                 tables[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
             } else {
@@ -348,13 +351,13 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
     for (int32_t t = 0; t < n_next; ++t) states[t] = next_states[t];
     n_states = n_next;
 
-    // Tail stages, cuts 14/17/20/23: stage 1 = 64 states x 3 bits
+    // Tail stages, cuts 13/16/19/22: stage 1 = 64 states x 3 bits
     // (512 entries, logical rows 16..19); stages 2..4 = 32 states x 3
     // bits (256 entries each, logical rows 20..25).
     int32_t ns = 1;
-    int32_t depth = 14;
+    int32_t depth = 13;
     while (n_states > 0) {
-        if (ns >= 5) return -1;  // depth > 26
+        if (ns >= 5) return -1;  // depth > 25
         int32_t* tab = (ns == 1)
             ? tables + 16 * 128
             : tables + (20 + 2 * (ns - 2)) * 128;

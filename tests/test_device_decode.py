@@ -184,12 +184,12 @@ def test_resolve_blocks_matches_table_walk():
         e = ent((w32 >> 22) & 1023, 0)
         k = 1
         while not (e & (1 << 15)):
-            bits3 = (w32 >> (15 - 3 * (k - 2))) & 7
             if k == 1:
-                e = ent(((e & 63) << 4) | ((w32 >> 18) & 15), 512)
+                e = ent(((e & 127) << 3) | ((w32 >> 19) & 7), 512)
             elif k == 2:
-                e = ent(((e & 63) << 3) | bits3, 1024)
+                e = ent(((e & 63) << 3) | ((w32 >> 16) & 7), 1024)
             else:
+                bits3 = (w32 >> (16 - 3 * (k - 2))) & 7
                 e = ent(((e & 31) << 3) | bits3, 1280 + 128 * (k - 3))
             k += 1
         return e
