@@ -75,6 +75,49 @@ def main():
         native.walk_progress(np.asarray(hdr.tree, np.int16), payload[:k],
                              hdr.n_sym)
 
+    # 5. Header scan on garbage / tiny / truncated inputs, cross-checked
+    # against the numpy predicate on a well-formed stream.
+    from libhuffman_tpu.format import find_candidate_headers
+    big = hostref.encode(bytes(rng.integers(0, 256, 40000, np.uint8)), 512)
+    for case in (b"", b"\x00" * 9, b"\xff" * 333, big, big[:11], good):
+        buf = np.frombuffer(case, np.uint8)
+        got = native.find_headers(buf)
+        exp = find_candidate_headers(buf)
+        assert np.array_equal(got, exp), len(case)
+
+    # 6. stage_plan edge offsets: beyond-end, zero caps, caps past the
+    # stream end, ragged non-word tails (must zero-fill, never over-read).
+    data = np.frombuffer(big, np.uint8)
+    offs = np.array([0, len(big) - 3, len(big), -1, 17], np.int64)
+    caps = np.array([64, 100, 50, 10, len(big) * 2], np.int64)
+    rows = native.stage_plan(data, offs, caps, 64)
+    assert rows.shape == (5, 64)
+    assert rows[3].sum() == 0  # off = -1 row stays zero
+
+    # 7. assemble_blocks round-trips against the Python packer.
+    from libhuffman_tpu.format import pack_block
+    blocks = [b"hello world", bytes(rng.integers(0, 256, 777, np.uint8))]
+    encs = [hostref.encode_block(np.frombuffer(b, np.uint8))
+            for b in blocks]
+    hdrs = [parse_block_header(memoryview(e), 0) for e in encs]
+    tl = max(len(h.tree) for h in hdrs)
+    trees = np.zeros((3, tl), np.int16)
+    tree_lens = np.zeros(3, np.int32)
+    pl = max(len(e) - h.payload_off for e, h in zip(encs, hdrs))
+    pays = np.zeros((3, pl), np.uint8)
+    pay_lens = np.zeros(3, np.int64)
+    n_sym = np.zeros(3, np.uint64)
+    for i, (e, h) in enumerate(zip(encs, hdrs)):
+        trees[i, : len(h.tree)] = h.tree
+        tree_lens[i] = len(h.tree)
+        seg = np.frombuffer(e, np.uint8, offset=h.payload_off)
+        pays[i, : len(seg)] = seg
+        pay_lens[i] = len(seg)
+        n_sym[i] = h.n_sym
+    # Row 2 stays n_sym = 0: padding, must be skipped.
+    got = native.assemble_blocks(n_sym, trees, tree_lens, pays, pay_lens)
+    assert got == b"".join(encs), "assemble_blocks mismatch"
+
     print("native sanitizer pass OK")
 
 
