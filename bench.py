@@ -330,6 +330,23 @@ def main():
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only subprocess
         env["JAX_PLATFORMS"] = "cpu"
+        # XLA:CPU cache entries are machine code and this environment
+        # migrates across heterogeneous hosts (loading foreign-feature
+        # AOT code SIGILLs — see tests/conftest.py); keep the CPU
+        # subprocess's cache in a host-fingerprinted subdir, away from
+        # the TPU entries (which are remote-compiled and portable).
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo", "rb") as f:
+                blob = f.read()
+            flags = b"\n".join(l for l in blob.splitlines()
+                               if l.startswith((b"flags", b"model name")))
+            fp = hashlib.md5(flags).hexdigest()[:10]
+        except OSError:
+            fp = "unknown"
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            os.environ["JAX_COMPILATION_CACHE_DIR"], "cpu-" + fp)
         try:
             r = subprocess.run(
                 [sys.executable,

@@ -154,6 +154,16 @@ def encode(
         return b""
     if blocksize <= 0:
         blocksize = n
+    if blocksize > (1 << 21):
+        # Oversized single blocks (blocksize=0 on a large input, or an
+        # explicit multi-MB blocksize): the Pallas path keeps a whole
+        # block's canvases in VMEM, and codes can exceed the 32-bit device
+        # fast path beyond ~2 MB anyway (ops/device.MAX_CODE_BITS) — take
+        # the host-exact encoder, block by block.
+        out = []
+        for off in range(0, n, blocksize):
+            out.append(hostref.encode_block(buf[off : off + blocksize]))
+        return b"".join(out)
     nblocks = -(-n // blocksize)
 
     import jax.numpy as jnp

@@ -463,11 +463,7 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
         ln = L.astype(jnp.uint32)
         level0 = jnp.where(ln > 0, C << ((jnp.uint32(32) - ln) & 31),
                            jnp.uint32(0))
-        # capw=None: measured round 4, the clamped canvas saved no time —
-        # the kernel is instruction-issue-bound at these shapes, not
-        # canvas-traffic-bound — so the exact path (no overflow redo at
-        # all) stays the default.
-        words, clamp_ovf = concat_kernel.concat_words_ovf(level0, L, W, None)
+        words, clamp_ovf = concat_kernel.concat_words_ovf(level0, L, W, capw)
         pack_ovf = clamp_ovf | (total_bits > 32 * W)
     else:
         words, pack_ovf = pack_tree.pack_words_chunked(C, L, W, capw)

@@ -76,6 +76,16 @@ def test_family_small_oracle_exact(fam):
     assert dec_mod.decode(ours) == data
 
 
+def test_oversized_single_block_oracle_exact():
+    # blocksize=0 on a multi-MB input: one block far beyond the device
+    # fast path (codes can exceed 32 bits; VMEM canvases can't hold it) —
+    # must route to the host-exact encoder and stay wire-exact.
+    data = _families()["mixed"](3 << 20)
+    ours = enc_mod.encode(data, 0)
+    assert ours == ref_compress(data, len(data))
+    assert dec_mod.decode(ours) == data
+
+
 @pytest.mark.skipif(not _RUN, reason="see above")
 def test_mixed_family_corpus_scale():
     data = _families()["mixed"](_MB << 20)
