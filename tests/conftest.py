@@ -24,32 +24,31 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: the CPU-backend kernel compiles dominate suite
-# wall time; warm runs skip them.  The directory is keyed by jax version
-# AND a host-CPU fingerprint: XLA:CPU caches AOT machine code, and this
-# environment migrates across heterogeneous hosts — loading an executable
-# compiled with other CPU features segfaults mid-suite (observed twice:
-# round 3 in the cache read path, round 4 with an explicit "machine type
-# for execution doesn't match ... SIGILL" loader warning).
-def _host_fingerprint() -> str:
+# Persistent compile cache: DISABLED for the CPU suite by default.  This
+# jax build's XLA:CPU AOT executable (de)serialization is unreliable:
+# observed segfaults in executable.serialize() during cache writes AND in
+# the loader when an entry compiled on a different host's CPU features is
+# read back (this environment migrates across heterogeneous machines; the
+# loader itself warns "machine type ... doesn't match ... SIGILL").  The
+# TPU-side cache (bench.py) is unaffected — TPU executables are compiled
+# and serialized remotely.  Opt back in with JAX_TEST_CACHE_DIR (the dir
+# is then keyed by jax version + a host-CPU fingerprint).
+_cache_root = os.environ.get("JAX_TEST_CACHE_DIR")
+if _cache_root:
     import hashlib
 
     try:
         with open("/proc/cpuinfo", "rb") as f:
-            blob = f.read()
-        flags = b"\n".join(l for l in blob.splitlines()
-                           if l.startswith((b"flags", b"model name")))
+            _blob = f.read()
+        _flags = b"\n".join(l for l in _blob.splitlines()
+                            if l.startswith((b"flags", b"model name")))
     except OSError:
-        flags = b"unknown"
-    return hashlib.md5(flags).hexdigest()[:10]
-
-
-_cache_root = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_cache_tests")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(_cache_root,
-                 "v-" + jax.__version__ + "-" + _host_fingerprint()))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _flags = b"unknown"
+    _fp = hashlib.md5(_flags).hexdigest()[:10]
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_cache_root, "v-" + jax.__version__ + "-" + _fp))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
