@@ -54,6 +54,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults deterministically deep in compile (or executable
+    serialize) after ~50 tests' worth of accumulated in-process compile
+    state — reproduced at the same suite position across four runs, never
+    reproducible with the same tests in a fresh process.  Dropping the
+    executable caches at module boundaries sheds that state; re-compiles
+    across modules are the price."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
