@@ -43,14 +43,25 @@ def main():
         np.frombuffer(b"abcdefgh \n", np.uint8), 40_000
     ).astype(np.uint8).tobytes()
 
+    # Sizes-only path first (SURVEY.md §5.8 option (b)): cross-host
+    # traffic for the split itself is 8 bytes/process; record DCN bytes.
+    seg, off, total = multihost.encode_stream_multihost_local(data, 4096)
+    dcn_local = multihost.DCN_BYTES
+
     stream = multihost.encode_stream_multihost(data, 4096)
     plain = multihost.decode_stream_multihost(stream)
+
+    # The local segment must be exactly the stream slice at its offset.
+    seg_ok = stream[off : off + len(seg)] == seg and total == len(stream)
 
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
         json.dump({
             "stream_len": len(stream),
             "stream_sha": hashlib.sha256(stream).hexdigest(),
             "plain_ok": plain == data,
+            "seg_ok": seg_ok,
+            "dcn_sizes_only": dcn_local,
+            "dcn_total": multihost.DCN_BYTES,
         }, f)
 
 

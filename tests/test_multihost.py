@@ -89,6 +89,12 @@ def test_two_process_roundtrip(tmp_path):
         assert got["plain_ok"] is True
         assert got["stream_len"] == len(ref)
         assert got["stream_sha"] == hashlib.sha256(ref).hexdigest()
+        # Sizes-only split (§5.8 option (b)): the rank-local segment is a
+        # verbatim stream slice, and its cross-host traffic is just the
+        # per-process size exchange (8 bytes x nproc), far below the
+        # stream size.
+        assert got["seg_ok"] is True
+        assert got["dcn_sizes_only"] <= 64, got["dcn_sizes_only"]
 
 
 def _free_port() -> int:
