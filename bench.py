@@ -196,10 +196,11 @@ def bench_decode_device(enc: bytes, repeat=3):
     arrays = tuple(
         (jax.device_put(jnp.asarray(p.words)),
          jax.device_put(jnp.asarray(p.tables)),
-         jax.device_put(jnp.asarray(p.n_sym)))
+         jax.device_put(jnp.asarray(p.n_sym)),
+         jax.device_put(jnp.asarray(p.caps)))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
     from libhuffman_tpu.ops import decode_v3 as ddec
 
     # One fused dispatch for the whole stream, checksum included (dispatch
@@ -209,9 +210,9 @@ def bench_decode_device(enc: bytes, repeat=3):
 
     @_ft.partial(jax.jit, static_argnums=(2,))
     def dec_check(arrs, salt, shp):
-        salted = tuple((w ^ salt, t, ns) for (w, t, ns) in arrs)
+        salted = tuple((w ^ salt, t, ns, nc) for (w, t, ns, nc) in arrs)
         acc = jnp.uint32(0)
-        for out, end_bit, corrupt, bad_bit in ddec.decode_blocks_many(
+        for out, end_bit, corrupt, bad_bit, _eovf in ddec.decode_blocks_many(
                 salted, shp):
             acc = (acc + jnp.sum(out.astype(jnp.uint32))
                    + jnp.sum(end_bit.astype(jnp.uint32))
@@ -231,13 +232,14 @@ def bench_decode_device(enc: bytes, repeat=3):
 
     host_res = []
     for res in ddec.decode_blocks_many(arrays, shapes):
-        out, end_bit, corrupt, bad_bit = res
+        out, end_bit, corrupt, bad_bit, eovf = res
         host_res.append((np.asarray(out), np.asarray(end_bit),
-                         np.asarray(corrupt), np.asarray(bad_bit)))
+                         np.asarray(corrupt), np.asarray(bad_bit),
+                         np.asarray(eovf)))
     t0 = time.perf_counter()
     pieces = []
-    for p, (out_h, end_h, cor_h, bad_h) in zip(plans, host_res):
-        dec_mod._apply_plan_results(p, out_h, end_h, cor_h, bad_h)
+    for p, (out_h, end_h, cor_h, bad_h, eovf_h) in zip(plans, host_res):
+        dec_mod._apply_plan_results(p, out_h, end_h, cor_h, bad_h, eovf_h)
         for c, *_rest in p.batch:
             if c.result is not None:
                 pieces.append(c.result[0])

@@ -120,10 +120,11 @@ def profile_decode(enc: bytes, repeat=3):
     arrays = tuple(
         (jax.device_put(jnp.asarray(p.words)),
          jax.device_put(jnp.asarray(p.tables)),
-         jax.device_put(jnp.asarray(p.n_sym)))
+         jax.device_put(jnp.asarray(p.n_sym)),
+         jax.device_put(jnp.asarray(p.caps)))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
 
     # ONE fused dispatch per ablation level; subtract one trivial-dispatch
     # RTT.  Per-plan dispatching cannot be decomposed honestly: serialized
@@ -132,7 +133,7 @@ def profile_decode(enc: bytes, repeat=3):
     cum = []
     for k in range(1, 5):
         def run(s, k=k):
-            salted = tuple((w ^ s, t, n) for (w, t, n) in arrays)
+            salted = tuple((w ^ s, t, n, nc) for (w, t, n, nc) in arrays)
             return ddec.decode_blocks_prefix_many(salted, shapes, k)
         t = _time(run, [jnp.uint32(i) for i in range(1, 4)], repeat)
         cum.append(max(t - base, 0.0))
@@ -146,7 +147,7 @@ def profile_decode(enc: bytes, repeat=3):
     phases["_covered_bytes"] = covered
     phases["_covered_plans"] = f"{len(plans)}/{len(plans)}"
     phases["_shape"] = str(sorted(set(
-        (p.words.shape[0],) + s for p, s in zip(plans, shapes))))
+        (p.words.shape[0],) + s[:3] for p, s in zip(plans, shapes))))
     return phases
 
 

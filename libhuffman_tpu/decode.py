@@ -155,15 +155,16 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
         return
     with annotate("huff.decode.device"):
         results = _run_plans(plans)
-    for plan, (out, end_bit, corrupt, bad_bit) in zip(plans, results):
+    for plan, (out, end_bit, corrupt, bad_bit, eovf) in zip(plans, results):
         _apply_plan_results(
             plan, np.asarray(out), np.asarray(end_bit), np.asarray(corrupt),
-            np.asarray(bad_bit),
+            np.asarray(bad_bit), np.asarray(eovf),
         )
 
 
 class _Plan:
-    __slots__ = ("words", "tables", "n_sym", "NP", "OUTW", "ns", "batch")
+    __slots__ = ("words", "tables", "n_sym", "caps", "NP", "OUTW", "ns",
+                 "ecw", "batch")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -238,6 +239,19 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
             ns = max(ns, cns)
+        # Emission-capacity clamp (words per 64 groups) from the batch's
+        # densest block: 64 groups hold 64 payload bytes, so a block's
+        # mean content is 16*n_sym/cap words per 64 groups; x1.5 margin
+        # covers local variance (bitrev pairing concentrates merges
+        # toward the mean), and the emit_ovf flag -> host re-decode
+        # covers the rest.  None (exact) above 48.
+        dens = 0
+        for (c, _t, cp, _n) in batch:
+            cp = max(int(cp), 1)
+            dens = max(dens, (24 * c.n_sym + cp - 1) // cp)
+        ecw = -(-max(dens, 16) // 8) * 8  # bucket to multiples of 8
+        if ecw > 48:
+            ecw = None  # exact capacities
         if native.available():
             # One native pass: slice, zero-pad, and byteswap per block
             # (native stage_plan) straight into the kernel's word layout.
@@ -252,19 +266,10 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
             words = wbytes.view(">u4").astype(np.uint32).reshape(
                 B, (W + 128) // 128, 128)
         OUTW = _bucket(max_sym, 512) // 4
-        plans.append(_Plan(words=words, tables=tables, n_sym=n_sym, NP=NP,
-                           OUTW=OUTW, ns=ns, batch=batch))
+        plans.append(_Plan(words=words, tables=tables, n_sym=n_sym,
+                           caps=caps.astype(np.int32), NP=NP, OUTW=OUTW,
+                           ns=ns, ecw=ecw, batch=batch))
     return plans
-
-
-def _run_plan(plan: _Plan):
-    import jax.numpy as jnp
-
-    _COMPILE_KEYS.add((plan.words.shape[0], plan.NP, plan.OUTW, plan.ns))
-    return ddec.decode_blocks(
-        jnp.asarray(plan.words), jnp.asarray(plan.tables),
-        jnp.asarray(plan.n_sym), plan.NP, plan.OUTW, plan.ns,
-    )
 
 
 def _run_plans(plans: list[_Plan]):
@@ -273,12 +278,13 @@ def _run_plans(plans: list[_Plan]):
     import jax.numpy as jnp
 
     for p in plans:
-        _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns))
+        _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns, p.ecw))
     arrays = tuple(
-        (jnp.asarray(p.words), jnp.asarray(p.tables), jnp.asarray(p.n_sym))
+        (jnp.asarray(p.words), jnp.asarray(p.tables),
+         jnp.asarray(p.n_sym), jnp.asarray(p.caps))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
     return ddec.decode_blocks_many(arrays, shapes)
 
 
@@ -356,8 +362,13 @@ def build_device_plans(enc: bytes):
     return _build_plans(buf, eligible), n_out
 
 
-def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h):
+def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h, eovf_h=None):
     for b, (c, _tab, cap, _ns) in enumerate(plan.batch):
+        if eovf_h is not None and eovf_h[b]:
+            # Emission capacity clamped this block out (denser than the
+            # plan's ECW estimate): host-exact re-decode.
+            c.fallback = True
+            continue
         if cor_h[b]:
             # Read-then-step precedence (decoder.c:52-71): a failing bit
             # beyond the available payload is a short read, not corruption

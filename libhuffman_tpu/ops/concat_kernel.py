@@ -14,14 +14,17 @@ per-lane gathers):
     inputs into bit-reversed string order — one XLA transpose of a
     [2]*log2(N) view, done once outside the kernel.
   * plane-major -> string-major switch — while strings outnumber lanes
-    (P >= 256) the buffer is plane-major ((cap, P/128, 128): word-barrel
-    shifts are leading-axis rolls); at P = 128 the buffer transposes once
-    to string-major ((P, cap): shifts become static lane rolls).
+    (P >= 256) the buffer is plane-major ((cap, GB, P/128, 128):
+    word-barrel shifts are leading-axis rolls); at P = 128 the buffer
+    transposes once to string-major; the final three levels run on a
+    [string, block]-row canvas where every slice is tile-aligned.
 
-Buffer size is exactly N words at every level (P * cap == N, 32-bit codes
-worst case), so there is no capacity clamp and no overflow path at all —
-this retires the encode packer's capw/redo machinery when the kernel path
-is taken.
+Eight blocks (GB) stack per grid step — the level op count is constant
+per step, so stacking divides per-instruction issue overhead.  Buffer
+size defaults to the exact N words per level (32-bit codes worst case);
+an optional ``capw`` clamp shrinks the intermediate capacities for
+typical code lengths, flagging (and host-re-encoding) the rare blocks
+whose content exceeds a clamp.
 
 Serves both directions: the encode bit-packer (strings = left-aligned
 codewords; replaces the reference's sequential bit accumulator,

@@ -10,19 +10,22 @@ lookups/s for 128-wide tables (bench/probe_r3e.py):
               windows     built in-VMEM from the payload words (no
                           materialized (B, 32*W) u32 window tensor),
               resolution  a cascade of 128-wide permute lookups over
-                          host-built tables (native build_decode_tables):
-                          LUT10 (8 chunks) -> 64-state x 4-bit stage
-                          (8 chunks) -> up to four 16-state x 3-bit tail
-                          stages; covers code depth <= 26 uniformly — no
-                          escape compaction, no device LUT build.
+                          host-built u16-packed tables (native
+                          build_decode_tables): LUT10 (4 chunk permutes)
+                          -> 128-state x 3-bit stage (4 chunks) -> a
+                          64-state x 3-bit tail + up to three 32-state
+                          x 3-bit tails; covers code depth <= 25
+                          uniformly — no escape compaction, no device
+                          LUT build.
   kernel 2  chain_emit — the linear boolean recurrence
               is_start(p) = OR_l is_start(p-l) & (len(p-l) == l)
             sequential over positions (the true data dependency,
             reference src/decoder.c:34-96), blocks across vector lanes;
-            fused with group emission: every 8 positions pack their
-            started symbols into one big-endian word + count, so the
-            XLA emission tree starts at payload granularity instead of
-            re-reading (B, NP) start/symbol planes.
+            the loop is the minimal recurrence (XLA precomputes a packed
+            schedule|symbol plane): every 8 positions store their
+            started symbols (right-aligned) and the running started
+            total, so group counts, bad masks, and left-alignment are
+            parallel XLA work and the bookkeeping needs no cumsum.
 
 Final emission = pack_tree merge tree over the group words (capacity
 clamped to the output budget); bookkeeping (end bit, corrupt precedence,
@@ -327,25 +330,33 @@ def chain_emit(meta_t: jax.Array, packed: bool = True):
 # Emission + bookkeeping (XLA)
 # --------------------------------------------------------------------------
 
-def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int):
+def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int,
+                 ecapw: int | None = None):
     """Concatenate per-group byte strings (VMEM merge-tree kernel).
 
     gw is already a left-aligned MSB-first bitstring of length 8 * gc, so
     it feeds the generic concatenation kernel directly.  Falls back to the
     XLA merge tree for group counts below the kernel's minimum.
+
+    ``ecapw`` clamps the merge tree's intermediate capacities (words per
+    64 groups; None = exact): the driver derives it from each plan's
+    symbol densities, and a block whose content exceeds a clamp returns
+    ovf=True — the caller re-decodes it on the host-exact path.
+    Returns (out_bytes, ovf).
     """
     NG = gw.shape[1]
     if NG >= 256 and OUTW % 128 == 0:
-        words = concat_kernel.concat_words(gw, gc * 8, OUTW)
+        words, ovf = concat_kernel.concat_words_ovf(gw, gc * 8, OUTW, ecapw)
     else:
         strings, glens = pack_tree._soa_levels(gw, gc * 8, 3)
         words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
         if words.shape[1] < OUTW:
             words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
+        ovf = jnp.zeros(gw.shape[0], bool)
     out = jnp.stack(
         [(words >> 24), (words >> 16), (words >> 8), words], axis=-1
     ).astype(jnp.uint8).reshape(gw.shape[0], 4 * OUTW)
-    return out
+    return out, ovf
 
 
 def _gather_rows_small(arr: jax.Array, idx: jax.Array) -> jax.Array:
@@ -359,22 +370,30 @@ def _gather_rows_small(arr: jax.Array, idx: jax.Array) -> jax.Array:
         jnp.where(iota == idx[:, None], arr, jnp.zeros_like(arr)), axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
+                  ECW: int | None = None):
     """Decode a batch of blocks.
 
     words:  (B, NP // 4096 + 1, 128) u32 padded big-endian payload words;
     tables: (B, TAB_ROWS, 128) i32 resolve tables; n_sym: (B,) symbols to
-    restore.  NP: static bit-position count (multiple of 32768); OUTW:
-    static output u32 words per block (4*OUTW >= max n_sym); NS: static
-    lookup-stage bucket (codes <= MAXL_OF_NS[NS] bits).
+    restore; n_cap: (B,) staged payload bytes per block (= live emission
+    groups — zero padding beyond it can decode as dense garbage starts
+    and is masked out of the emitter).  NP: static bit-position count
+    (multiple of 32768); OUTW: static output u32 words per block
+    (4*OUTW >= max n_sym); NS: static lookup-stage bucket (codes <=
+    MAXL_OF_NS[NS] bits).
 
-    Returns (out, end_bit, corrupt, bad_bit):
+    ECW: static emission capacity clamp (words per 64 groups; None =
+    exact), derived by the driver from the plan's symbol densities.
+
+    Returns (out, end_bit, corrupt, bad_bit, emit_ovf):
       out (B, 4*OUTW) u8 — decoded bytes, valid through n_sym[b],
       end_bit (B,) i32  — exclusive bit offset after the last symbol
                           (NP when the chain dies early: short read),
       corrupt (B,) bool — chain hit a missing child within n_sym symbols,
-      bad_bit (B,) i32  — global bit index of the failing bit.
+      bad_bit (B,) i32  — global bit index of the failing bit,
+      emit_ovf (B,) bool — emission clamped out (host re-decode needed).
     """
     B = words.shape[0]
     WR = NP // 4096  # NP/32 words / 128 lanes
@@ -405,7 +424,13 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     grank = gr_t.T.astype(jnp.int32)  # (B, NG) inclusive running totals
     gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
     # Kernel gw is right-aligned insertion order; left-align for emission.
-    gwu = gw_t.T
+    # Groups past the staged payload (zero padding can resolve to dense
+    # garbage starts) are masked out: their symbols can never be within
+    # the first n_sym of a block that completes inside its cap.
+    giota = jax.lax.broadcasted_iota(jnp.int32, gc.shape, 1)
+    live = giota < n_cap.astype(jnp.int32)[:, None]
+    gc = jnp.where(live, gc, 0)
+    gwu = jnp.where(live, gw_t.T, 0)
     gw = gwu << ((jnp.uint32(32) - (gc.astype(jnp.uint32) << 3)) & 31)
     # started-and-bad masks from start bits & per-position bad bits.
     sw_bT0 = start_w.T  # (B, W)
@@ -417,7 +442,7 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     gb = ((sb_and[:, :, None] >> bshifts) & jnp.uint32(0xFF)
           ).reshape(B, 4 * W).astype(jnp.int32)
 
-    out = _emit_groups(gw, gc, OUTW)
+    out, emit_ovf = _emit_groups(gw, gc, OUTW, ECW)
 
     # --- bookkeeping (reference decoder.c:52-91 semantics) ---
     # All group-granular: per-block scalars come from single gathers into
@@ -470,7 +495,7 @@ def decode_blocks(words, tables, n_sym, NP: int, OUTW: int, NS: int):
     corrupt = anybad & (rank_fb <= n_sym)
     fail_off = meta_at(fb, symbf_pm) >> 8 & 63
     bad_bit = fb + fail_off
-    return out, end_bit, corrupt, bad_bit
+    return out, end_bit, corrupt, bad_bit, emit_ovf
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -483,12 +508,13 @@ def decode_blocks_many(arrays, shapes):
     allocator frees each plan's intermediates before the next plan's run,
     so peak HBM stays at one plan's working set plus inputs/outputs.
 
-    arrays: tuple of (words, tables, n_sym) triples; shapes: matching tuple
-    of static (NP, OUTW, NS).  Returns the per-plan decode_blocks results.
+    arrays: tuple of (words, tables, n_sym, n_cap) quadruples; shapes:
+    matching tuple of static (NP, OUTW, NS, ECW).  Returns the per-plan
+    decode_blocks results.
     """
     return tuple(
-        decode_blocks(w, t, n, NP, OUTW, NS)
-        for (w, t, n), (NP, OUTW, NS) in zip(arrays, shapes)
+        decode_blocks(w, t, n, nc, NP, OUTW, NS, ECW)
+        for (w, t, n, nc), (NP, OUTW, NS, ECW) in zip(arrays, shapes)
     )
 
 
@@ -499,15 +525,16 @@ def decode_blocks_prefix_many(arrays, shapes, upto: int):
     the only way to get clean absolute phase walls when device time can
     exceed the non-pipelining ~23.5 ms dispatch RTT (PERF.md §1)."""
     acc = jnp.uint32(0)
-    for (w, t, n), (NP, OUTW, NS) in zip(arrays, shapes):
+    for (w, t, n, nc), shp in zip(arrays, shapes):
+        NP, OUTW, NS = shp[:3]
         acc = acc + decode_blocks_prefix(
-            w, t, n, NP, OUTW, NS, upto).astype(jnp.uint32)
+            w, t, n, nc, NP, OUTW, NS, upto).astype(jnp.uint32)
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
-                         upto: int):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def decode_blocks_prefix(words, tables, n_sym, n_cap, NP: int, OUTW: int,
+                         NS: int, upto: int):
     """Profiling ablation: the decode pipeline truncated after stage ``upto``
     (1=resolve, 2=+chain/emit-groups, 3=+emission tree, 4=full incl.
     bookkeeping), reduced to a checksum.  BENCH_PHASES=1 drives this."""
@@ -533,11 +560,14 @@ def decode_blocks_prefix(words, tables, n_sym, NP: int, OUTW: int, NS: int,
         return jnp.sum(start_w) + jnp.sum(gw_t) + jnp.sum(gr_t)
     grank = gr_t.T.astype(jnp.int32)
     gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
-    gw = gw_t.T << ((u32(32) - (gc.astype(u32) << 3)) & 31)
-    out = _emit_groups(gw, gc, OUTW)
+    giota = jax.lax.broadcasted_iota(jnp.int32, gc.shape, 1)
+    live = giota < n_cap.astype(jnp.int32)[:, None]
+    gc = jnp.where(live, gc, 0)
+    gw = jnp.where(live, gw_t.T, 0) << ((u32(32) - (gc.astype(u32) << 3)) & 31)
+    out, _ovf = _emit_groups(gw, gc, OUTW)
     if upto == 3:
         return jnp.sum(out.astype(u32))
-    res = decode_blocks(words, tables, n_sym, NP, OUTW, NS)
-    out, end_bit, corrupt, bad_bit = res
+    res = decode_blocks(words, tables, n_sym, n_cap, NP, OUTW, NS)
+    out, end_bit, corrupt, bad_bit, _eovf = res
     return (jnp.sum(out.astype(u32)) + jnp.sum(end_bit.astype(u32))
             + jnp.sum(corrupt.astype(u32)) + jnp.sum(bad_bit.astype(u32)))

@@ -72,7 +72,7 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     return tuple(np.asarray(r) for r in res)
 
 
-def decode_blocks_sharded(words, tables, n_sym, NP: int, OUTW: int,
+def decode_blocks_sharded(words, tables, n_sym, n_cap, NP: int, OUTW: int,
                           NS: int, mesh: Mesh):
     """Sharded batch decode: the v3 kernels (ops/decode_v3.decode_blocks)
     run per shard under shard_map over the block axis — blocks are fully
@@ -84,14 +84,15 @@ def decode_blocks_sharded(words, tables, n_sym, NP: int, OUTW: int,
     dspec3 = NamedSharding(mesh, spec3)
     dvspec = NamedSharding(mesh, vspec)
 
-    def per_shard(w, t, n):
-        return ddec.decode_blocks.__wrapped__(w, t, n, NP, OUTW, NS)
+    def per_shard(w, t, n, nc):
+        return ddec.decode_blocks.__wrapped__(w, t, n, nc, NP, OUTW, NS,
+                                              None)
 
     fn = jax.jit(
         shard_map(
             per_shard, mesh=mesh,
-            in_specs=(spec3, spec3, vspec),
-            out_specs=(P("blocks", None), vspec, vspec, vspec),
+            in_specs=(spec3, spec3, vspec, vspec),
+            out_specs=(P("blocks", None), vspec, vspec, vspec, vspec),
             check_rep=False,  # pallas_call out_shapes carry no replication info
         )
     )
@@ -99,6 +100,7 @@ def decode_blocks_sharded(words, tables, n_sym, NP: int, OUTW: int,
         jax.device_put(jnp.asarray(words), dspec3),
         jax.device_put(jnp.asarray(tables), dspec3),
         jax.device_put(jnp.asarray(n_sym), dvspec),
+        jax.device_put(jnp.asarray(n_cap), dvspec),
     )
     return tuple(np.asarray(r) for r in res)
 
