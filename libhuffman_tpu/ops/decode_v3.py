@@ -6,7 +6,8 @@ kernels built on the VPU's dynamic lane permute, measured at ~146 G
 lookups/s for 128-wide tables (bench/probe_r3e.py):
 
   kernel 1  resolve_blocks — for EVERY bit position p of every block,
-            the (length, symbol | bad, fail) of the codeword starting at p:
+            the (length, symbol | fail offset) of the codeword starting
+            at p:
               windows     built in-VMEM from the payload words (no
                           materialized (B, 32*W) u32 window tensor),
               resolution  a cascade of 128-wide permute lookups over
@@ -17,22 +18,32 @@ lookups/s for 128-wide tables (bench/probe_r3e.py):
                           x 3-bit tails; covers code depth <= 25
                           uniformly — no escape compaction, no device
                           LUT build.
+            The terminal table entry is translated in-kernel to the
+            chain's compact composite (aux(8) << 8 | len(6); len == 0
+            marks a dead/corrupt position whose aux byte is the fail
+            offset) and ADJACENT POSITION PAIRS pack into one u32 —
+            round-5 measurement: the chain kernel is load-bound, so
+            halving its input bytes sped it ~1.7x, and XLA transposes
+            the pair plane at ~180 G pos/s (bench/probe_r5_decode.py).
   kernel 2  chain_emit — the linear boolean recurrence
               is_start(p) = OR_l is_start(p-l) & (len(p-l) == l)
             sequential over positions (the true data dependency,
             reference src/decoder.c:34-96), blocks across vector lanes;
-            the loop is the minimal recurrence (XLA precomputes a packed
-            schedule|symbol plane): every 8 positions store their
-            started symbols (right-aligned) and the running started
-            total, so group counts, bad masks, and left-alignment are
-            parallel XLA work and the bookkeeping needs no cumsum.
+            the loop keeps a single u32 pending-start bitmask per lane
+            and computes the schedule mask in-kernel from the 6-bit
+            length ((1 << len) >> 1, zero for dead positions): every 8
+            positions store their started symbols (right-aligned) and
+            the running started total, so group counts, bad masks, and
+            left-alignment are parallel XLA work and the bookkeeping
+            needs no cumsum.  One layout serves every NS bucket (the
+            round-4 split into packed/non-packed planes is gone).
 
 Final emission = pack_tree merge tree over the group words (capacity
 clamped to the output budget); bookkeeping (end bit, corrupt precedence,
 short reads) reproduces decoder.c:52-91 exactly as in v2.
 
 Blocks whose trees the table builder rejects (no root, 1-bit codes,
-over-capacity state cuts, depth > 26) never reach these kernels — the
+over-capacity state cuts, depth > 25) never reach these kernels — the
 driver routes them to the host-exact walk.
 """
 
@@ -68,7 +79,7 @@ def _interpret() -> bool:
 # Wider tiles amortize per-instruction issue overhead (a (16, 128) operand
 # is only 2 VPU-cycles of work per op; measured round 4, the 16-row kernel
 # ran ~10x below the VPU elementwise roofline purely on issue overhead).
-# Out block (1, 32, 128, 128) u16 = 1 MB — well within VMEM double-buffer.
+# Out block (1, 16, 128, 128) u32 = 1 MB — well within VMEM double-buffer.
 _RW_MAX = 128
 
 
@@ -129,7 +140,7 @@ def _resolve_kernel_body(NS: int, RW: int):
             nxt_col = jnp.broadcast_to(wx[1:, 0:1], (RW, 128))
             wn = jnp.where(lane == 127, nxt_col, rolled)
 
-            def phase(s, _):
+            def resolve_at(s):
                 su = s.astype(jnp.uint32)
                 # (wn >> 1) >> (31 - s) instead of wn >> (32 - s): the
                 # s == 0 case would shift by 32 (undefined).
@@ -153,13 +164,23 @@ def _resolve_kernel_body(NS: int, RW: int):
                         idxk = (((e & 31) << 3) | bits3).astype(jnp.int32)
                         ek = _lookup256p(tail[k - 3], idxk)
                     e = jnp.where(e & _DONE != 0, e, ek)
-                # Raw 16-bit table entries; the XLA glue in decode_blocks
-                # translates to (len, sym, bad/fail) planes — elementwise
-                # work fused into the transpose it already pays for.
-                meta_ref[0, s, :, :] = e.astype(jnp.uint16)
+                # Translate the raw terminal entry (DONE | bad << 14 |
+                # lnfail(6) << 8 | sym(8)) to the chain composite
+                # aux(8) << 8 | len(6): len 0 marks bad/dead, whose aux
+                # byte carries the fail offset instead of the symbol.
+                lnf = (e >> 8) & 63
+                bad = (e & _BAD) != 0
+                ln = jnp.where(bad, 0, lnf)
+                aux = jnp.where(bad, lnf, e & 255)
+                return (aux << 8) | ln
+
+            def phase_pair(s2, _):
+                lo = resolve_at(2 * s2)
+                hi = resolve_at(2 * s2 + 1)
+                meta_ref[0, s2, :, :] = lo | (hi << 16)
                 return 0
 
-            jax.lax.fori_loop(0, 32, phase, 0)
+            jax.lax.fori_loop(0, 16, phase_pair, 0)
             return 0
 
         tile(pl.program_id(1), 0)
@@ -176,16 +197,18 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
     tables: (B, TAB_ROWS, 128) u32 packed resolve tables (native build).
     NS:     static lookup-stage count; codes <= MAXL_OF_NS[NS] bits.
 
-    Returns meta (B, 32, WR, 128) u16 in s-plane layout — the entry for
-    position p = 32 * w + s of block b is meta[b, s, w // 128, w % 128]:
-    the RAW terminal table entry DONE | bad << 14 | lnfail(6) << 8 | sym(8).
+    Returns meta (B, 16, WR, 128) u32 in pair-plane layout — positions
+    p = 32 * w + 2 * s2 and p + 1 of block b live in the low/high halves
+    of meta[b, s2, w // 128, w % 128]: each u16 half is the translated
+    composite aux(8) << 8 | len(6) (len == 0: dead/corrupt, aux = fail
+    offset; else aux = decoded symbol).
     """
     B, WRp1, _ = words.shape
     WR = WRp1 - 1
     RW = min(_RW_MAX, WR)
     assert WR % RW == 0, WR
     # The word-tile axis is a grid dimension so the per-step output block
-    # stays small (a (1, 32, WR, 128) block OOMs VMEM for deep-tree plans
+    # stays small (a (1, 16, WR, 128) block OOMs VMEM for deep-tree plans
     # with NP = 2^21); the words row is re-fetched per tile step, a ~4x
     # HBM read amplification that is still < 1 ms at bench scale.
     return pl.pallas_call(
@@ -197,9 +220,9 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
             pl.BlockSpec((1, TAB_ROWS, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 32, RW, 128), lambda b, t: (b, 0, t, 0),
+        out_specs=pl.BlockSpec((1, 16, RW, 128), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 32, WR, 128), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((B, 16, WR, 128), jnp.uint32),
         interpret=_interpret(),
     )(words, tables)
 
@@ -211,7 +234,7 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
 SP = 512  # positions per grid step
 
 
-def _chain_kernel_body(SB: int, packed: bool):
+def _chain_kernel_body(SB: int):
     def kernel(meta_ref, start_ref, gw_ref, gr_ref, state_ref):
         first = pl.program_id(0) == 0
 
@@ -226,30 +249,30 @@ def _chain_kernel_body(SB: int, packed: bool):
             pend, cnt = carry
             word = pend & 0  # u32 zeros with a concrete layout
             gw = pend & 0
-            for t in range(32):
-                new = pend & 1
-                started = new == 1
-                word = word | (new << t)
-                m = meta_ref[32 * j + t].astype(jnp.uint32)
-                if packed:
-                    # m = sched(24) | sym << 24; sched pre-computed in XLA
-                    # (1 << (len-1), or 0 for dead positions).
-                    gw = jnp.where(started, (gw << 8) | (m >> 24), gw)
-                    sched = jnp.where(started, m & jnp.uint32(0xFFFFFF), 0)
-                else:
-                    # m = len | sym << 8 | bf << 16 (NS=5: a schedule mask
-                    # would collide with the sym byte; compute in-kernel).
-                    ln = m & 255
-                    gw = jnp.where(started, (gw << 8) | ((m >> 8) & 255), gw)
-                    sched = jnp.where(
-                        started & (ln > 0),
-                        jnp.uint32(1) << (ln - 1), jnp.uint32(0))
-                cnt = cnt + new
-                pend = (pend >> 1) | sched
-                if t % 8 == 7:
-                    gw_ref[4 * j + t // 8] = gw
-                    gr_ref[4 * j + t // 8] = cnt
-                    gw = pend & 0
+            for h in range(16):
+                m2 = meta_ref[16 * j + h].astype(jnp.uint32)
+                for half in range(2):
+                    t = 2 * h + half
+                    # Composite halfword: aux(8) << 8 | len(6).
+                    if half == 0:
+                        sym = (m2 >> 8) & 255
+                        ln = m2 & 63
+                    else:
+                        sym = m2 >> 24
+                        ln = (m2 >> 16) & 63
+                    new = pend & 1
+                    started = new == 1
+                    word = word | (new << t)
+                    # (1 << len) >> 1: the schedule mask, 0 for len == 0
+                    # (dead position) without a second select.
+                    sched = (jnp.uint32(1) << ln) >> 1
+                    gw = jnp.where(started, (gw << 8) | sym, gw)
+                    cnt = cnt + new
+                    pend = (pend >> 1) | jnp.where(started, sched, 0)
+                    if t % 8 == 7:
+                        gw_ref[4 * j + t // 8] = gw
+                        gr_ref[4 * j + t // 8] = cnt
+                        gw = pend & 0
             start_ref[j] = word
             return pend, cnt
 
@@ -261,15 +284,17 @@ def _chain_kernel_body(SB: int, packed: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def chain_emit(meta_t: jax.Array, packed: bool = True):
+@jax.jit
+def chain_emit(meta2: jax.Array):
     """is_start bits + per-8-position emission groups for every block.
 
-    meta_t: (NP, B) u32 position-major plane.  ``packed`` layout (NS <= 4):
-    sched(24) | sym(8) << 24, where sched = 1 << (len-1) (0 = dead
-    position), pre-computed by the XLA glue so the sequential loop is
-    minimal.  Non-packed (NS = 5, codes to 26 bits): len | sym << 8 |
-    bf << 16 with the schedule mask computed in-kernel.
+    meta2: (NP // 2, B) u32 position-major pair plane: positions 2r and
+    2r + 1 in the low/high u16 halves of row r, each the composite
+    aux(8) << 8 | len(6) (len == 0 = dead position; the schedule mask is
+    computed in-kernel as (1 << len) >> 1).  Round-5 measurement: the
+    kernel is VMEM-load-bound, so the paired plane runs ~1.7x faster
+    than the round-4 one-position-per-u32 layout despite ~3 more ALU ops
+    per position, and one layout serves every NS bucket.
     Returns
       start (NP // 32, B) u32 — bit t of word w = is_start(32w + t),
       gw    (NP // 8, B) u32  — started symbols of the group, RIGHT-aligned
@@ -288,19 +313,20 @@ def chain_emit(meta_t: jax.Array, packed: bool = True):
     length L at p schedules bit L-1 at p+1), so the per-position cost is
     constant — no MAXL-sized lag window.
     """
-    NP, B = meta_t.shape
+    NP2, B = meta2.shape
+    NP = 2 * NP2
     assert NP % SP == 0, (NP, B)
     B_pad = -(-B // 128) * 128
     if B_pad != B:
-        meta_t = jnp.pad(meta_t, ((0, 0), (0, B_pad - B)))
+        meta2 = jnp.pad(meta2, ((0, 0), (0, B_pad - B)))
     SB = B_pad // 128
     grid = NP // SP
-    kernel = _chain_kernel_body(SB, packed)
+    kernel = _chain_kernel_body(SB)
     start, gw, gr = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SP, SB, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((SP // 2, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -320,7 +346,7 @@ def chain_emit(meta_t: jax.Array, packed: bool = True):
             pltpu.VMEM((2, SB, 128), jnp.uint32),
         ],
         interpret=_interpret(),
-    )(meta_t.astype(jnp.int32).reshape(NP, SB, 128))
+    )(jax.lax.bitcast_convert_type(meta2, jnp.int32).reshape(NP2, SB, 128))
     return (start.reshape(NP // 32, B_pad)[:, :B],
             gw.reshape(NP // 8, B_pad)[:, :B],
             gr.reshape(NP // 8, B_pad)[:, :B])
@@ -396,30 +422,23 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
       emit_ovf (B,) bool — emission clamped out (host re-decode needed).
     """
     B = words.shape[0]
-    WR = NP // 4096  # NP/32 words / 128 lanes
     W = NP // 32
-    meta = resolve_blocks(words, tables, NS)  # (B, 32, WR, 128) u16 raw
+    meta = resolve_blocks(words, tables, NS)  # (B, 16, WR, 128) u32 pairs
     meta = jax.lax.optimization_barrier(meta)
-    # Translate raw table entries in XLA (fused into the transpose).
-    e = meta.reshape(B, 32, W).astype(jnp.uint32)
-    bad = (e & _BAD) != 0
-    lnf = (e >> 8) & 63
-    ln = jnp.where(bad, 0, lnf)
-    packed = NS <= 4  # codes <= 23 bits: schedule mask fits below sym<<24
-    if packed:
-        sched = jnp.where(
-            ln > 0, jnp.uint32(1) << (jnp.maximum(ln, 1) - 1), jnp.uint32(0))
-        mflat = sched | ((e & 255) << 24)
-    else:
-        mflat = jnp.where(bad, ((128 | lnf) << 16), 0) | ((e & 255) << 8) | ln
+    e2 = meta.reshape(B, 16, W)
+    ln_lo = e2 & 63
+    ln_hi = (e2 >> 16) & 63
+    # badw: bit s of word w = position 32w + s is dead/corrupt (len == 0).
+    s2_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 16, 1), 1)
+    badw = jnp.sum(
+        jnp.where(ln_lo == 0, jnp.uint32(1) << (2 * s2_iota), jnp.uint32(0))
+        | jnp.where(ln_hi == 0, jnp.uint32(1) << (2 * s2_iota + 1),
+                    jnp.uint32(0)),
+        axis=1)  # (B, W)
+    # Position-major pair plane for the chain: row r = positions 2r, 2r+1.
+    meta_t = jnp.transpose(e2, (2, 1, 0)).reshape(NP // 2, B)
 
-    # Position-major plane for the chain: p = 32w + s.
-    ln_pm = ln.astype(jnp.int32)
-    symbf_pm = ((e & 255) | jnp.where(
-        bad, (1 << 15) | (lnf << 8), 0)).astype(jnp.int32)
-    meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
-
-    start_w, gw_t, gr_t = chain_emit(meta_t, packed)
+    start_w, gw_t, gr_t = chain_emit(meta_t)
     start_w = jax.lax.optimization_barrier(start_w)
     grank = gr_t.T.astype(jnp.int32)  # (B, NG) inclusive running totals
     gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
@@ -434,9 +453,6 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     gw = gwu << ((jnp.uint32(32) - (gc.astype(jnp.uint32) << 3)) & 31)
     # started-and-bad masks from start bits & per-position bad bits.
     sw_bT0 = start_w.T  # (B, W)
-    s_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-    badw = jnp.sum(
-        jnp.where(bad, jnp.uint32(1) << s_iota, jnp.uint32(0)), axis=1)
     sb_and = sw_bT0 & badw  # (B, W)
     bshifts = (jnp.arange(4, dtype=jnp.uint32) * 8)
     gb = ((sb_and[:, :, None] >> bshifts) & jnp.uint32(0xFF)
@@ -446,18 +462,20 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
 
     # --- bookkeeping (reference decoder.c:52-91 semantics) ---
     # All group-granular: per-block scalars come from single gathers into
-    # the (B, NG)/(B, 32*W) planes — no (B, NP) expansions.
+    # the (B, NG)/(B, 16*W) planes — no (B, NP) expansions.
     sw_bT = sw_bT0.astype(jnp.int32)  # (B, W): group g = byte g%4, word g//4
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+    e2_flat = e2.reshape(B, 16 * W)
 
     def group_start_mask(g):
         word = _gather_rows_small(sw_bT, g // 4)
         return (word >> ((g % 4) * 8)) & 0xFF
 
-    def meta_at(p, plane):
-        # plane (B, 32, W) flat-indexed at position p = 32w + s.
-        return _gather_rows_small(
-            plane.reshape(B, 32 * W), (p % 32) * W + p // 32)
+    def composite_at(p):
+        # The u16 composite of position p = 32w + s, gathered from the
+        # pair plane: cell (s // 2) * W + w, half s & 1.
+        cell = _gather_rows_small(e2_flat, (p % 32) // 2 * W + p // 32)
+        return (cell >> (16 * (p & 1).astype(jnp.uint32))) & 0xFFFF
 
     # grank comes from the chain kernel (running totals) — no XLA cumsum.
     total = grank[:, -1]
@@ -475,7 +493,7 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     hit = (csg == k[:, None]) & (sg == 1)
     j_star = jnp.argmax(hit, axis=1).astype(jnp.int32)
     p_star = g_star * 8 + j_star
-    l_star = meta_at(p_star, ln_pm)
+    l_star = (composite_at(p_star) & 63).astype(jnp.int32)
     end_bit = jnp.where(reached, p_star + l_star, NP)
 
     # corrupt: first bad start (gb marks started-and-bad positions)
@@ -493,7 +511,8 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
         jnp.where(iota8 <= jfb[:, None], sgf, 0), axis=1
     )
     corrupt = anybad & (rank_fb <= n_sym)
-    fail_off = meta_at(fb, symbf_pm) >> 8 & 63
+    # aux byte of a dead position = the fail offset within the codeword.
+    fail_off = ((composite_at(fb) >> 8) & 63).astype(jnp.int32)
     bad_bit = fb + fail_off
     return out, end_bit, corrupt, bad_bit, emit_ovf
 
@@ -542,20 +561,10 @@ def decode_blocks_prefix(words, tables, n_sym, n_cap, NP: int, OUTW: int,
     B = words.shape[0]
     meta = jax.lax.optimization_barrier(resolve_blocks(words, tables, NS))
     if upto == 1:
-        return jnp.sum(meta.astype(u32))
-    e = meta.reshape(B, 32, NP // 32).astype(u32)
-    bad = (e & _BAD) != 0
-    lnf = (e >> 8) & 63
-    ln = jnp.where(bad, 0, lnf)
-    packed = NS <= 4
-    if packed:
-        sched = jnp.where(
-            ln > 0, u32(1) << (jnp.maximum(ln, 1) - 1), u32(0))
-        mflat = sched | ((e & 255) << 24)
-    else:
-        mflat = jnp.where(bad, ((128 | lnf) << 16), 0) | ((e & 255) << 8) | ln
-    meta_t = jnp.transpose(mflat, (2, 1, 0)).reshape(NP, B)
-    start_w, gw_t, gr_t = chain_emit(meta_t, packed)
+        return jnp.sum(meta)
+    e2 = meta.reshape(B, 16, NP // 32)
+    meta_t = jnp.transpose(e2, (2, 1, 0)).reshape(NP // 2, B)
+    start_w, gw_t, gr_t = chain_emit(meta_t)
     if upto == 2:
         return jnp.sum(start_w) + jnp.sum(gw_t) + jnp.sum(gr_t)
     grank = gr_t.T.astype(jnp.int32)
