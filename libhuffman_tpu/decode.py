@@ -62,6 +62,36 @@ def _bucket(n: int, lo: int) -> int:
     return b
 
 
+def _p_bucket(n: int) -> int:
+    """Payload-byte budget bucket for a device plan.
+
+    Pow2 buckets waste ~24% of every kernel pass on dead positions for the
+    typical 0.76-ratio corpus (a 50 KB payload padded to 64 KB).  Eight
+    buckets per octave cut that to ~6%, constrained to the kernel
+    alignments: P % 4096 == 0 above 4096 (whole word-rows per chain
+    stripe), and above 64 KiB only multiples of 8192 up to 128 KiB (the
+    resolve tile halves to RW = WR // 2, still a multiple of 8 rows) then
+    multiples of 64 KiB (RW = 128 exactly)."""
+    if n <= 4096:
+        return _bucket(n, 512)
+    step = max(4096, 1 << (max(n - 1, 1).bit_length() - 3))
+    p = -(-n // step) * step
+    if p > 131072:
+        p = -(-p // 65536) * 65536
+    elif p > 65536:
+        p = -(-p // 8192) * 8192
+    return p
+
+
+def _b_bucket(n: int) -> int:
+    """Block-count bucket: pow2 to 128, then lane-granular multiples of 128
+    (padding lanes pay the full resolve cascade, so a pow2-padded tail plan
+    wasted up to half its device work)."""
+    if n <= 128:
+        return _bucket(n, 16)
+    return -(-n // 128) * 128
+
+
 # Padding-lane resolve table: every entry terminal-and-bad, so padding
 # lanes resolve len 0 everywhere, their chains stall, and no real work
 # happens; the driver never reads padding-lane results.
@@ -209,22 +239,30 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
     i = 0
     while i < len(eligible):
         # Greedy batch under the position budget.  P >= 512 keeps the
-        # resolve kernel's word rows whole (128 words/row).  A batch takes
-        # only CONSECUTIVE candidates of the same P bucket: every staged
-        # payload must fit its plan's P words — a cap > P would silently
-        # truncate the payload and let the chain run into zero padding
-        # (accepted as a bogus "complete" decode).
-        P = _bucket(eligible[i][2] + 8, 512)
+        # resolve kernel's word rows whole.  A batch takes only CONSECUTIVE
+        # candidates of the same P bucket: every staged payload must fit
+        # its plan's P words — a cap > P would silently truncate the
+        # payload and let the chain run into zero padding (accepted as a
+        # bogus "complete" decode).
+        P = _p_bucket(eligible[i][2] + 8)
         NP = 8 * P
         Bmax = max(1, _POSITION_BUDGET // NP)
         j = i
-        while (j < len(eligible) and j - i < Bmax
-               and _bucket(eligible[j][2] + 8, 512) == P):
+        while j < len(eligible) and _p_bucket(eligible[j][2] + 8) == P:
             j += 1
-        batch = eligible[i:j]
-        i = j
+        run = j - i
+        # Near-equal chunks instead of greedy Bmax-fulls: a 1024-block run
+        # at Bmax=682 would otherwise become 682+342 -> lane-padded
+        # 768+384 (12% dead lanes); two 512s pad nothing.
+        Bcap = max(128, (Bmax // 128) * 128) if Bmax > 128 else Bmax
+        nchunks = -(-run // Bcap)
+        csize = -(-run // nchunks)
+        if csize > 128:
+            csize = min(-(-csize // 128) * 128, Bcap)
+        batch = eligible[i : i + csize]
+        i += len(batch)
         assert all(cap <= P for (_c, _t, cap, _n) in batch)
-        B = _bucket(len(batch), 16)
+        B = _b_bucket(len(batch))
         W = P // 4  # u32 payload words
         tables = np.tile(_pad_table(), (B, 1, 1))
         n_sym = np.ones(B, np.int32)

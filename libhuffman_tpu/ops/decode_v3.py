@@ -205,7 +205,14 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
     """
     B, WRp1, _ = words.shape
     WR = WRp1 - 1
-    RW = min(_RW_MAX, WR)
+    if WR <= _RW_MAX:
+        RW = WR
+    elif WR <= 2 * _RW_MAX and (WR // 2) % 8 == 0:
+        # Fine P buckets in (64 KiB, 128 KiB]: two tiles of WR // 2 rows
+        # (the driver guarantees WR is a multiple of 16 there).
+        RW = WR // 2
+    else:
+        RW = _RW_MAX
     assert WR % RW == 0, WR
     # The word-tile axis is a grid dimension so the per-step output block
     # stays small (a (1, 16, WR, 128) block OOMs VMEM for deep-tree plans
@@ -371,6 +378,15 @@ def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int,
     Returns (out_bytes, ovf).
     """
     NG = gw.shape[1]
+    # The merge tree's halving levels need a pow2 string count; fine
+    # (non-pow2) plan buckets pad with empty groups, which concatenate as
+    # zero-length strings.  The earlier kernel passes (resolve, chain,
+    # transpose) already saved the dead-position work.
+    NG2 = 1 << max(8, (NG - 1).bit_length())
+    if NG2 != NG:
+        gw = jnp.pad(gw, ((0, 0), (0, NG2 - NG)))
+        gc = jnp.pad(gc, ((0, 0), (0, NG2 - NG)))
+        NG = NG2
     if NG >= 256 and OUTW % 128 == 0:
         words, ovf = concat_kernel.concat_words_ovf(gw, gc * 8, OUTW, ecapw)
     else:
