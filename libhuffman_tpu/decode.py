@@ -259,6 +259,9 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
         csize = -(-run // nchunks)
         if csize > 128:
             csize = min(-(-csize // 128) * 128, Bcap)
+        # Never reach past the same-P run: later candidates have caps
+        # beyond this plan's word budget.
+        csize = min(csize, run)
         batch = eligible[i : i + csize]
         i += len(batch)
         assert all(cap <= P for (_c, _t, cap, _n) in batch)

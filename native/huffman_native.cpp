@@ -223,7 +223,8 @@ int32_t scan_stream(const uint8_t* data, int64_t length,
 }
 
 // ---------------------------------------------------------------------------
-// Decode resolve tables: LUT10 + (64-state x 4-bit) stage + stride-3 tail.
+// Decode resolve tables: LUT10 + (128-state x 3-bit) stage + a 64-state
+// 3-bit tail, then 32-state 3-bit tails.
 //
 // The TPU resolve kernel (ops/decode_v3.py) determines, for every bit
 // position, the (length, symbol) of the codeword starting there, using only
@@ -231,18 +232,21 @@ int32_t scan_stream(const uint8_t* data, int64_t length,
 // from 128-entry chunks).  Every logical entry fits 16 bits, so TWO entries
 // pack per u32 lane cell — halving both the permute count per lookup in the
 // kernel (4 chunk permutes for a 1024-entry table instead of 8) and the
-// table VMEM footprint.  Packed layout per block, 12 rows of 128 u32
-// (entry i of a table lives in cell i>>1, half i&1, little-halfword first):
+// table VMEM footprint.  Packed layout per block, TAB_ROWS = 13 rows of
+// 128 u32 (entry i of a table lives in cell i>>1, half i&1,
+// little-halfword first):
 //
 //   rows 0..3   LUT10:   index = first 10 window bits           (1024)
-//   rows 4..7   stage 1: index = state(6b) << 4 | bits [10,14)  (1024)
-//   rows 8..11  stage k: index = state(5b) << 3 | 3 bits        (256 each,
-//               one row per stage) covering cuts 14, 17, 20, 23 -> max 26
+//   rows 4..7   stage 1: index = state(7b) << 3 | bits [10,13)  (1024)
+//   rows 8..9   tail 1:  index = state(6b) << 3 | 3 bits        (512)
+//   rows 10..12 tails 2-4: index = state(5b) << 3 | 3 bits      (256 each,
+//               one row per stage) covering cuts 13, 16, 19, 22 -> max
+//               depth 25 (MAX_TABLE_DEPTH; decode_v3.MAXL_OF_NS)
 //
-// Cut capacities follow measured tree shapes (bench/probe_r3 analysis):
-// realistic 64 KiB text blocks (Zipf word mix with a rare-byte tail) have
-// <= 64 internal nodes at depth 10 and <= ~31 at depth 14; uniform-byte
-// blocks have depth <= 10 entirely.
+// Cut capacities follow measured tree shapes (bench/probe_r3 analysis plus
+// the round-4 widening): realistic 64 KiB text blocks (Zipf word mix with
+// a rare-byte tail) fit 128 states at depth 10 and 64 at depth 13;
+// uniform-byte blocks have depth <= 10 entirely.
 //
 // Entry packing (int32):
 //   terminal:  (1 << 15) | bad << 14 | lnfail(6) << 8 | sym(8)
@@ -561,16 +565,32 @@ int32_t walk_progress_resume(const int16_t* tree, int32_t tree_len,
 int64_t find_headers(const uint8_t* d, int64_t n, int64_t* out, int64_t cap)
 {
     if (n < 10) return 0;
-    int64_t m = n - 10 + 1, k = 0;
-    for (int64_t i = 0; i < m; ++i) {
-        const uint8_t* p = d + i;
-        if (p[4] | p[5] | p[6] | p[7]) continue;       // high u32 must be 0
-        if (!(p[0] | p[1] | p[2] | p[3])) continue;    // n_sym must be > 0
-        uint8_t d8 = p[8], d9 = p[9];
-        bool tree_ok = (d9 < 4 && (d8 | d9) != 0) || (d9 == 4 && d8 <= 1);
-        if (!tree_ok) continue;
-        if (k < cap) out[k] = i;
-        ++k;
+    const int64_t last = n - 10;  // max candidate offset
+    int64_t k = 0;
+    // A candidate needs bytes [i+4, i+8) all zero, i.e. a zero RUN of
+    // length >= 4.  Compressed payload bytes are near-uniform, so such
+    // runs are rare: hop between zero bytes with SIMD memchr (~15 GB/s)
+    // and only examine windows whose zero-quad fits inside a run.
+    int64_t pos = 4;
+    while (pos < n) {
+        const void* z = std::memchr(d + pos, 0, (size_t)(n - pos));
+        if (!z) break;
+        int64_t z0 = (const uint8_t*)z - d;
+        int64_t z1 = z0 + 1;
+        while (z1 < n && d[z1] == 0) ++z1;
+        int64_t ilo = z0 - 4 < 0 ? 0 : z0 - 4;
+        int64_t ihi = z1 - 8 < last ? z1 - 8 : last;
+        for (int64_t i = ilo; i <= ihi; ++i) {
+            const uint8_t* p = d + i;
+            if (p[4] | p[5] | p[6] | p[7]) continue;   // run-edge guard
+            if (!(p[0] | p[1] | p[2] | p[3])) continue;  // n_sym > 0
+            uint8_t d8 = p[8], d9 = p[9];
+            bool tree_ok = (d9 < 4 && (d8 | d9) != 0) || (d9 == 4 && d8 <= 1);
+            if (!tree_ok) continue;
+            if (k < cap) out[k] = i;
+            ++k;
+        }
+        pos = z1 + 1;
     }
     return k;
 }
@@ -585,18 +605,22 @@ void stage_plan(const uint8_t* data, int64_t n,
 {
     for (int32_t b = 0; b < B; ++b) {
         uint32_t* o = out + (int64_t)b * row_words;
-        std::memset(o, 0, (size_t)row_words * 4);
         int64_t off = offs[b];
-        if (off < 0) continue;
-        int64_t len = caps[b];
+        int64_t len = off < 0 ? 0 : caps[b];
         if (off + len > n) len = n - off;
         if (len > row_words * 4) len = row_words * 4;
-        if (len <= 0) continue;
+        if (len < 0) len = 0;
+        // Zero only the padding tail (zeroing full rows then overwriting
+        // doubled the staging wall at stream scale).
+        std::memset(o + len / 4, 0, (size_t)(row_words - len / 4) * 4);
+        if (len == 0) continue;
         const uint8_t* s = data + off;
         int64_t w = 0;
-        for (; (w + 1) * 4 <= len; ++w)
-            o[w] = ((uint32_t)s[4 * w] << 24) | ((uint32_t)s[4 * w + 1] << 16)
-                 | ((uint32_t)s[4 * w + 2] << 8) | (uint32_t)s[4 * w + 3];
+        for (; (w + 1) * 4 <= len; ++w) {
+            uint32_t v;
+            std::memcpy(&v, s + 4 * w, 4);
+            o[w] = __builtin_bswap32(v);
+        }
         int64_t rem = len - 4 * w;
         if (rem > 0) {
             uint32_t v = 0;

@@ -55,6 +55,15 @@ def test_decode_random_vs_oracle(seed):
     _roundtrip(data, bs)
 
 
+def test_decode_long_same_size_run_chunking():
+    # >128 same-P-bucket candidates: the plan splitter's 128-multiple
+    # rounding must never reach past the run into larger-cap candidates
+    # (round-5 regression: csize rounded beyond the run tripped the
+    # cap <= P invariant).
+    data = (b"The quick brown fox jumps over the lazy dog. " * 8000)[:200 << 10]
+    _roundtrip(data, 1024)
+
+
 def test_decode_own_encode():
     data = open("/root/reference/README.md", "rb").read()
     enc = enc_mod.encode(data, 2048)
