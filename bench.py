@@ -28,9 +28,11 @@ Wire exactness: every run byte-compares this framework's compressed stream
 against the compiled reference oracle on a corpus prefix, and round-trips
 the full corpus.
 
-Environment knobs: BENCH_MB (corpus size cap, default 100), BENCH_BLOCK
-(blocksize, default 65536), BENCH_SKIP_REF=1 (skip the C baseline),
-BENCH_ORACLE_MB (exactness prefix, default 16).
+Environment knobs: BENCH_MB (corpus size cap, default 400 — sized so the
+flat ~23.5 ms dispatch RTT is amortized the way a production stream would;
+PERF.md section 1), BENCH_BLOCK (blocksize, default 65536),
+BENCH_SKIP_REF=1 (skip the C baseline), BENCH_ORACLE_MB (exactness
+prefix, default 16).
 """
 
 import functools
@@ -78,7 +80,22 @@ def corpus(n_bytes: int) -> bytes:
     # distinct bytes producing Huffman trees 12-16 deep; a letters-only
     # corpus gives 27 symbols and depth ~7, which understates decode work
     # (measured round 3: tree-shape analysis in bench/probe_r3 notes).
-    return _corpora().text(n_bytes)
+    # Generation costs ~9 s per 100 MB, so cache the deterministic bytes.
+    cache = f"/tmp/libhuffman_bench_text_{n_bytes}.bin"
+    try:
+        if os.path.exists(cache) and os.path.getsize(cache) == n_bytes:
+            with open(cache, "rb") as f:
+                return f.read()
+    except OSError:
+        pass
+    data = _corpora().text(n_bytes)
+    try:
+        with open(cache + ".tmp", "wb") as f:
+            f.write(data)
+        os.replace(cache + ".tmp", cache)
+    except OSError:
+        pass
+    return data
 
 
 def mixed_corpus(n_bytes: int) -> bytes:
@@ -250,7 +267,7 @@ def bench_decode_device(enc: bytes, repeat=3):
 
 
 def main():
-    mb = int(os.environ.get("BENCH_MB", "100"))
+    mb = int(os.environ.get("BENCH_MB", "400"))
     bs = int(os.environ.get("BENCH_BLOCK", "65536"))
     data = corpus(mb << 20)
     n = len(data)

@@ -61,7 +61,10 @@ class DecodeConfig:
     memlimit: working-buffer sizing hint (see module docstring).
     use_device: route eligible blocks through the TPU kernels (host-exact
         fallback handles the rest either way).
-    mesh: optional ``jax.sharding.Mesh`` for sharded batch decode.
+    mesh: optional ``jax.sharding.Mesh``: every device plan of the stream
+        runs under shard_map over the block axis
+        (parallel/shard.decode_plans_sharded) — the parallelized twin of
+        the reference's outer block loop (src/decoder.c:218-275).
     """
 
     length: int = 0

@@ -125,7 +125,8 @@ class _Candidate:
         self.result = None  # (symbols bytes, consumed payload bytes)
 
 
-def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
+def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate],
+                              mesh=None):
     """Speculatively decode eligible candidates in batches on the device.
 
     The device path needs the native table builder (native
@@ -180,11 +181,12 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate]):
             continue
         eligible.append((c, tables_all[i], cap, ns))
 
-    plans = _build_plans(data, eligible)
+    plans = _build_plans(data, eligible,
+                         lane_mult=mesh.devices.size if mesh else 1)
     if not plans:
         return
     with annotate("huff.decode.device"):
-        results = _run_plans(plans)
+        results = _run_plans(plans, mesh)
     for plan, (out, end_bit, corrupt, bad_bit, eovf) in zip(plans, results):
         _apply_plan_results(
             plan, np.asarray(out), np.asarray(end_bit), np.asarray(corrupt),
@@ -228,7 +230,8 @@ def _payload_cap(c: _Candidate, depth: int, next_off: int | None) -> int:
     return cap
 
 
-def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
+def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
+                 ) -> list[_Plan]:
     """Shape-homogeneous device batches from eligible candidates.
 
     Sorted by (stage count, cap): batching same-NS blocks together keeps
@@ -266,6 +269,8 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
         i += len(batch)
         assert all(cap <= P for (_c, _t, cap, _n) in batch)
         B = _b_bucket(len(batch))
+        if lane_mult > 1:
+            B = -(-B // lane_mult) * lane_mult
         W = P // 4  # u32 payload words
         tables = np.tile(_pad_table(), (B, 1, 1))
         n_sym = np.ones(B, np.int32)
@@ -313,13 +318,20 @@ def _build_plans(data: np.ndarray, eligible) -> list[_Plan]:
     return plans
 
 
-def _run_plans(plans: list[_Plan]):
+def _run_plans(plans: list[_Plan], mesh=None):
     """All plans in ONE device dispatch (dispatch latency is a flat
-    ~23.5 ms on this platform and does not pipeline; PERF.md §1)."""
+    ~23.5 ms on this platform and does not pipeline; PERF.md §1).
+
+    With a mesh, the same plans run through shard_map over the block axis
+    (parallel/shard.decode_plans_sharded) — the DecodeConfig.mesh path."""
     import jax.numpy as jnp
 
     for p in plans:
         _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns, p.ecw))
+    if mesh is not None:
+        from .parallel.shard import decode_plans_sharded
+
+        return decode_plans_sharded(plans, mesh)
     arrays = tuple(
         (jnp.asarray(p.words), jnp.asarray(p.tables),
          jnp.asarray(p.n_sym), jnp.asarray(p.caps))
@@ -435,7 +447,7 @@ def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h, eovf_h=None):
             c.error = ReadWriteError
 
 
-def _chain(data: bytes, length: int, use_device: bool):
+def _chain(data: bytes, length: int, use_device: bool, mesh=None):
     """Resolve the block chain from offset 0.
 
     Yields per-block decoded bytes; raises on the first failing block in
@@ -451,7 +463,7 @@ def _chain(data: bytes, length: int, use_device: bool):
                                     limit=max(64, length // 64))
         if cands is not None:
             cand_map = {c.off: c for c in cands}
-            _decode_candidates_device(buf, cands)
+            _decode_candidates_device(buf, cands, mesh)
 
     out = []
     mv = memoryview(data)
@@ -507,16 +519,21 @@ def decode(data: bytes, length: int | None = None, use_device: bool = True,
     failing block in chain order raises (src/decoder.c:218-275).
 
     A :class:`~libhuffman_tpu.config.DecodeConfig` overrides the positional
-    knobs (config.length caps consumption; use_device routes eligibility)."""
+    knobs (config.length caps consumption; use_device routes eligibility;
+    config.mesh shards every device plan over the block axis via shard_map
+    — the parallelized twin of the reference outer loop,
+    src/decoder.c:218-275)."""
+    mesh = None
     if config is not None:
         use_device = config.use_device
+        mesh = config.mesh
         if config.length:
             length = config.length
     if length is None:
         length = len(data)
     if length == 0:
         return b""
-    out, _ = _chain(data, length, use_device)
+    out, _ = _chain(data, length, use_device, mesh)
     return out
 
 

@@ -25,13 +25,15 @@ from .ops import device as dev
 from .ops import hostref
 from .utils.trace import annotate
 
-# Blocks per device sub-batch.  64 KiB x 256 = 16 MiB: XLA schedules this
-# size ~35% faster per byte than a 1536-block mega-batch (measured round
-# 4).  Dispatch latency (a flat ~23.5 ms RTT that does not pipeline,
-# bench/probe_r4_dispatch.py) amortizes by fusing up to FUSE_BATCHES
-# sub-batches into one dispatch (ops/device.encode_blocks_many).
-DEFAULT_BATCH_BLOCKS = 256
-FUSE_BATCHES = 8
+# Blocks per device sub-batch.  64 KiB x 128 = 8.4 MiB: the round-5 sweep
+# (128/256/512/1024 fused to the same total) measured 128-block programs
+# ~15% faster per byte than 256 and ~30% faster than 1024 — XLA schedules
+# the smaller pipelines better.  Dispatch latency (a flat ~23.5 ms RTT
+# that does not pipeline, bench/probe_r4_dispatch.py) amortizes by fusing
+# up to FUSE_BATCHES sub-batches into one dispatch
+# (ops/device.encode_blocks_many): 48 x 8.4 MiB = one RTT per ~400 MB.
+DEFAULT_BATCH_BLOCKS = 128
+FUSE_BATCHES = 48
 
 
 def _bucket(n: int, lo: int) -> int:

@@ -242,7 +242,9 @@ def find_candidate_headers(data: np.ndarray, max_n_sym: int = 1 << 32) -> np.nda
     """Offsets of plausible block headers in a compressed stream.
 
     A plausible header has 1 <= n_sym < max_n_sym with the top four bytes of
-    the u64 zero, and 1 <= tree_length <= 1024.  Every true mid-stream block
+    the u64 zero, and 1 <= tree_length <= 1025 (BTREE_SER_MAX — the native
+    find_headers must stay in lockstep; tests/sanitize_native.py
+    cross-checks them).  Every true mid-stream block
     start matches (the encoder never emits empty blocks, src/encoder.c:288;
     tree_length >= 5 in practice); false positives are possible but rare and
     merely cost wasted speculative work.

@@ -96,6 +96,12 @@ def _broadcast_bytes(local: bytes) -> bytes:
     mine = local if jax.process_index() == 0 else b""
     sizes = _allgather_sizes(len(mine))
     cap = int(sizes[0])
+    if cap == 0:
+        # Degenerate rank-0 payload: a zero-length process_allgather may
+        # fail inside the collective instead of propagating the normal
+        # error path (advisor r4); the size exchange above already
+        # synchronized every rank.
+        return b""
     padded = np.zeros(cap, np.uint8)
     padded[: len(mine)] = np.frombuffer(mine, np.uint8)
     _count_dcn(cap * nproc)
@@ -162,21 +168,28 @@ def encode_stream_multihost(data, blocksize: int, mesh=None) -> bytes:
     return b"".join(_allgather_bytes(local_stream))
 
 
-def decode_stream_multihost(stream: bytes) -> bytes:
-    """Decode across processes; every process returns the full output.
+def decode_stream_multihost_local(stream: bytes) -> tuple[bytes, int, int]:
+    """The §5.8 sizes-only recipe, decode side: every process runs the
+    device work for ITS slice of header candidates and keeps the decoded
+    bytes local; the only cross-host traffic is the candidate-offset
+    broadcast plus the all-gather of (offset, consumed, produced) TABLES
+    (24 bytes per resolved candidate).  Every process walks the chain over
+    the merged table (host work, cheap, deterministic) and returns
+    ``(local_segment, offset, total_size)`` — candidate ranges are
+    contiguous in stream order, so the rank-ordered concatenation of
+    segments IS the decoded output.
 
-    Block boundaries are only discoverable by decoding (format.py), so the
-    stream cannot be pre-split exactly.  Instead each process decodes the
-    whole chain but runs the *device* work only for its slice of header
-    candidates — on-device compute divides ~evenly while the host-side
-    chain walk (cheap) reuses every process's gathered results.  For this
-    round the slicing is by candidate ranges; the gathered artifacts are
-    (offset, consumed, produced) tables plus the decoded bytes, stitched in
-    chain order locally on every process.
+    Chain gaps (candidates nobody resolved: host-fallback blocks, missed
+    candidates) are decoded host-exactly on every rank — each rank needs
+    the block's consumed/produced sizes to continue its walk — and their
+    bytes belong to the rank owning the preceding candidate.  Errors raise
+    with reference semantics identically on every rank
+    (src/decoder.c:218-275).
     """
     nproc = jax.process_count()
     if nproc == 1:
-        return _decode_mod.decode(stream)
+        out = _decode_mod.decode(stream)
+        return out, 0, len(out)
 
     buf = np.frombuffer(stream, np.uint8)
     # Rank 0 runs the vectorized header scan once and broadcasts the
@@ -185,51 +198,85 @@ def decode_stream_multihost(stream: bytes) -> bytes:
     # deterministic on the replicated stream bytes).
     if jax.process_index() == 0:
         cands = _decode_mod.scan_candidates(buf)
-        head = np.asarray([c.off for c in cands], np.int64).tobytes()
-        head = _broadcast_bytes(head)
+        _broadcast_bytes(
+            np.asarray([c.off for c in cands], np.int64).tobytes())
     else:
         offs = np.frombuffer(_broadcast_bytes(b""), np.int64)
         cands = _decode_mod.scan_candidates(buf, offsets=offs)
+    me = jax.process_index()
     lo, hi = _my_range(len(cands))
     _decode_mod._decode_candidates_device(buf, cands[lo:hi])
 
-    # Gather (offset, consumed, len(bytes)) + bytes for resolved candidates.
-    mine = [(c.off, c.result[1], c.result[0]) for c in cands[lo:hi]
+    # Sizes-only exchange: (offset, consumed, produced) per resolved
+    # candidate — the payload bytes stay on the resolving rank.
+    mine = [(c.off, c.result[1], len(c.result[0])) for c in cands[lo:hi]
             if c.result is not None]
-    head = np.asarray(
-        [(o, cns, len(b)) for o, cns, b in mine], np.int64
-    ).reshape(-1, 3).tobytes()
-    blob = b"".join(b for *_x, b in mine)
-    tables = _allgather_bytes(head)
-    blobs = _allgather_bytes(blob)
+    local_bytes = {c.off: c.result[0] for c in cands[lo:hi]
+                   if c.result is not None}
+    tables = _allgather_bytes(
+        np.asarray(mine, np.int64).reshape(-1, 3).tobytes())
+    results: dict[int, tuple[int, int, int]] = {}
+    for rank, tbl in enumerate(tables):
+        for off, cns, prod in np.frombuffer(tbl, np.int64
+                                            ).reshape(-1, 3).tolist():
+            results[int(off)] = (rank, int(cns), int(prod))
 
-    results: dict[int, tuple[bytes, int]] = {}
-    for tbl, bb in zip(tables, blobs):
-        rows = np.frombuffer(tbl, np.int64).reshape(-1, 3)
-        pos = 0
-        for off, cns, ln in rows.tolist():
-            results[int(off)] = (bb[pos : pos + ln], int(cns))
-            pos += ln
+    # Ownership of chain pieces: resolved candidates belong to their
+    # resolving rank; gap pieces to the rank owning the preceding
+    # candidate (keeps the owner sequence monotone in chain order).
+    cand_offs = [c.off for c in cands]
+    per = -(-len(cands) // nproc) if cands else 1
 
-    # Chain walk using the merged result table; gaps fall back to the
-    # local exact path (identical on every process).
-    out = []
-    off = 0
+    def owner_of_gap(off: int) -> int:
+        import bisect
+
+        idx = bisect.bisect_right(cand_offs, off) - 1
+        return 0 if idx < 0 else min(idx // per, nproc - 1)
+
     cand_by_off = {c.off: c for c in cands}
+    segment = []
+    seg_offset = 0
+    total = 0
+    off = 0
     while off < len(stream):
         hit = results.get(off)
         if hit is not None:
-            syms, consumed = hit
-            c = cand_by_off[off]
-            out.append(syms)
-            off = c.payload_off + consumed
-            continue
-        piece, new_off = _decode_mod.decode_prefix(
-            bytes(stream[off:]), use_device=False)
-        if new_off == 0:
-            # errors propagate with reference semantics
-            _decode_mod.decode(bytes(stream[off:]), use_device=False)
-            break
-        out.append(piece)
-        off += new_off
-    return b"".join(out)
+            owner, consumed, produced = hit
+            if owner == me:
+                segment.append(bytes(local_bytes[off]))
+            off = cand_by_off[off].payload_off + consumed
+        else:
+            # Gap: host-exact chain-prefix decode, every rank.
+            piece, new_off = _decode_mod.decode_prefix(
+                bytes(stream[off:]), use_device=False)
+            if new_off == 0:
+                # errors propagate with reference semantics on all ranks
+                _decode_mod.decode(bytes(stream[off:]), use_device=False)
+                break
+            produced = len(piece)
+            owner = owner_of_gap(off)
+            if owner == me:
+                segment.append(piece)
+            off += new_off
+        if owner < me:
+            # Owners are monotone in chain order (contiguous candidate
+            # ranges), so this sum is exactly my segment's byte offset.
+            seg_offset += produced
+        total += produced
+    return b"".join(segment), seg_offset, total
+
+
+def decode_stream_multihost(stream: bytes) -> bytes:
+    """Decode across processes; every process returns the full output.
+
+    The sizes-only split (:func:`decode_stream_multihost_local`) plus the
+    rank-ordered payload all-gather the same-bytes-everywhere contract
+    requires; callers who write rank-local segments should use the
+    ``_local`` variant directly and skip the payload gather entirely.
+    """
+    if jax.process_count() == 1:
+        return _decode_mod.decode(stream)
+    segment, _off, total = decode_stream_multihost_local(stream)
+    if total == 0:
+        return b""
+    return b"".join(_allgather_bytes(segment))

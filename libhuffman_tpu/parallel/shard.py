@@ -45,7 +45,8 @@ _encode_step = dev.encode_blocks
 
 
 def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
-                   words_per_block: int | None = None):
+                   words_per_block: int | None = None,
+                   capw: int = 64):
     """Encode a (B, N) block batch sharded over ``mesh``.
 
     B must be a multiple of the mesh size (pad with n_valid == 0 blocks).
@@ -53,6 +54,8 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
 
     ``words_per_block``: static word budget; defaults to the worst case
     (N words = 32 bits/byte) — callers with size knowledge pass less.
+    ``capw`` clamps the packer's merge-tree capacities exactly like the
+    local path (overflowing blocks are flagged and host re-encoded).
     """
     B, N = batch.shape
     assert B % mesh.devices.size == 0, (B, mesh.devices.size)
@@ -63,7 +66,7 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     nv = jax.device_put(jnp.asarray(n_valid), vspec)
     out_shardings = (spec, vspec, spec, spec, vspec, vspec)
     fn = jax.jit(
-        functools.partial(_encode_step.__wrapped__, W=W),
+        functools.partial(_encode_step.__wrapped__, W=W, capw=capw),
         in_shardings=(spec, vspec),
         out_shardings=out_shardings,
         static_argnames=(),
@@ -72,30 +75,30 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     return tuple(np.asarray(r) for r in res)
 
 
-def decode_blocks_sharded(words, tables, n_sym, n_cap, NP: int, OUTW: int,
-                          NS: int, mesh: Mesh):
-    """Sharded batch decode: the v3 kernels (ops/decode_v3.decode_blocks)
-    run per shard under shard_map over the block axis — blocks are fully
-    independent, so there are no collectives at all."""
-    from jax.experimental.shard_map import shard_map
-
+def _decode_shard_mapped(mesh: Mesh, NP: int, OUTW: int, NS: int, ECW):
+    """shard_map-wrapped decode_blocks over the block axis — blocks are
+    fully independent, so there are no collectives at all."""
     spec3 = P("blocks", None, None)
     vspec = P("blocks")
-    dspec3 = NamedSharding(mesh, spec3)
-    dvspec = NamedSharding(mesh, vspec)
 
     def per_shard(w, t, n, nc):
         return ddec.decode_blocks.__wrapped__(w, t, n, nc, NP, OUTW, NS,
-                                              None)
+                                              ECW)
 
-    fn = jax.jit(
-        shard_map(
-            per_shard, mesh=mesh,
-            in_specs=(spec3, spec3, vspec, vspec),
-            out_specs=(P("blocks", None), vspec, vspec, vspec, vspec),
-            check_rep=False,  # pallas_call out_shapes carry no replication info
-        )
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec3, spec3, vspec, vspec),
+        out_specs=(P("blocks", None), vspec, vspec, vspec, vspec),
+        check_vma=False,  # pallas_call out_shapes carry no replication info
     )
+
+
+def decode_blocks_sharded(words, tables, n_sym, n_cap, NP: int, OUTW: int,
+                          NS: int, mesh: Mesh):
+    """Sharded batch decode of one homogeneous block batch (v3 kernels)."""
+    dspec3 = NamedSharding(mesh, P("blocks", None, None))
+    dvspec = NamedSharding(mesh, P("blocks"))
+    fn = jax.jit(_decode_shard_mapped(mesh, NP, OUTW, NS, None))
     res = fn(
         jax.device_put(jnp.asarray(words), dspec3),
         jax.device_put(jnp.asarray(tables), dspec3),
@@ -105,28 +108,94 @@ def decode_blocks_sharded(words, tables, n_sym, n_cap, NP: int, OUTW: int,
     return tuple(np.asarray(r) for r in res)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _decode_plans_sharded_step(arrays, shapes, mesh):
+    return tuple(
+        _decode_shard_mapped(mesh, NP, OUTW, NS, ECW)(w, t, n, nc)
+        for (w, t, n, nc), (NP, OUTW, NS, ECW) in zip(arrays, shapes)
+    )
+
+
+def decode_plans_sharded(plans, mesh: Mesh):
+    """All device plans of a stream through shard_map, ONE dispatch.
+
+    The sharded twin of ops/decode_v3.decode_blocks_many for the public
+    ``DecodeConfig(mesh=...)`` path (reference outer loop being
+    parallelized: src/decoder.c:218-275).  Plan lane counts are padded to
+    a mesh multiple by the driver (decode._build_plans lane_mult)."""
+    dspec3 = NamedSharding(mesh, P("blocks", None, None))
+    dvspec = NamedSharding(mesh, P("blocks"))
+    arrays = tuple(
+        (jax.device_put(jnp.asarray(p.words), dspec3),
+         jax.device_put(jnp.asarray(p.tables), dspec3),
+         jax.device_put(jnp.asarray(p.n_sym), dvspec),
+         jax.device_put(jnp.asarray(p.caps), dvspec))
+        for p in plans
+    )
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
+    return _decode_plans_sharded_step(arrays, shapes, mesh)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _encode_many_step(args, W: int, capw: int):
+    """Several sharded sub-batches in ONE dispatch (the sharded twin of
+    ops/device.encode_blocks_many; input shardings committed by the
+    caller's device_put propagate through GSPMD)."""
+    return tuple(_encode_step.__wrapped__(b, nv, W, capw) for b, nv in args)
+
+
 def encode_stream_sharded(buf: np.ndarray, blocksize: int, mesh: Mesh) -> bytes:
-    """Whole-stream encode over a device mesh: split into blocks, pad to a
-    mesh multiple, shard the batch, assemble in block order."""
+    """Whole-stream encode over a device mesh.
+
+    Runs the round-4 local pipeline shape under sharding: the stream splits
+    into sub-batches of 256 blocks PER DEVICE (the measured XLA scheduling
+    optimum for the fused kernels), every sub-batch uses the
+    ``_pack_params`` word budget + capw clamp instead of the worst-case
+    W = N, all sub-batches fuse into one dispatch, and the payload
+    transfer is bucketed to the longest real payload (the worst-case
+    buffer is 4N bytes/row but typical payloads are ~0.6N).  Clamp
+    overflows fall back to exact host re-encode per block, identical to
+    the local driver.
+    """
+    from ..encode import _assemble_batch, _pack_params
+
     n = len(buf)
     if n == 0:
         return b""
     if blocksize <= 0:
         blocksize = n
+    if blocksize > (1 << 21):
+        # Oversized single blocks: same host-exact route as encode.encode.
+        from ..ops import hostref
+
+        return b"".join(hostref.encode_block(buf[off : off + blocksize])
+                        for off in range(0, n, blocksize))
     nblocks = -(-n // blocksize)
     nd = mesh.devices.size
-    B = -(-nblocks // nd) * nd
-    batch = np.zeros((B, blocksize), np.uint8)
-    n_valid = np.zeros(B, np.int32)
-    flat = batch.reshape(-1)
-    flat[:n] = buf
-    n_valid[:nblocks] = blocksize
-    if n % blocksize:
-        n_valid[nblocks - 1] = n % blocksize
-    res = encode_sharded(batch, n_valid, mesh)
-    payload, total_bits, left, right, root, overflow = res
-    return assemble_stream(n_valid, total_bits, payload, left, right, root,
-                           overflow, batch)
+    W, capw = _pack_params(blocksize)
+    group = 256 * nd
+    spec = NamedSharding(mesh, P("blocks", None))
+    vspec = NamedSharding(mesh, P("blocks"))
+    host_batches = []
+    staged = []
+    for s in range(0, nblocks, group):
+        nb = min(group, nblocks - s)
+        B = -(-nb // nd) * nd
+        batch = np.zeros((B, blocksize), np.uint8)
+        n_valid = np.zeros(B, np.int32)
+        seg = buf[s * blocksize : min(n, (s + nb) * blocksize)]
+        batch.reshape(-1)[: len(seg)] = seg
+        n_valid[:nb] = blocksize
+        if s + nb == nblocks and n % blocksize:
+            n_valid[nb - 1] = n % blocksize
+        host_batches.append((batch, n_valid))
+        staged.append((jax.device_put(jnp.asarray(batch), spec),
+                       jax.device_put(jnp.asarray(n_valid), vspec)))
+    results = _encode_many_step(tuple(staged), W, capw)
+    chunks: list[bytes] = []
+    for (batch, n_valid), res in zip(host_batches, results):
+        chunks.extend(_assemble_batch(batch, n_valid, res))
+    return b"".join(chunks)
 
 
 def assemble_stream(n_valid, total_bits, payload, left, right, root,

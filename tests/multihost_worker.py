@@ -49,10 +49,19 @@ def main():
     dcn_local = multihost.DCN_BYTES
 
     stream = multihost.encode_stream_multihost(data, 4096)
+
+    # Decode sizes-only path: only candidate offsets + (off, consumed,
+    # produced) tables cross hosts; decoded bytes stay rank-local.
+    dcn_before_dec = multihost.DCN_BYTES
+    dseg, doff, dtotal = multihost.decode_stream_multihost_local(stream)
+    dcn_decode_local = multihost.DCN_BYTES - dcn_before_dec
+
     plain = multihost.decode_stream_multihost(stream)
 
-    # The local segment must be exactly the stream slice at its offset.
+    # The local segments must be exactly the slices at their offsets.
     seg_ok = stream[off : off + len(seg)] == seg and total == len(stream)
+    dseg_ok = (plain[doff : doff + len(dseg)] == dseg
+               and dtotal == len(plain))
 
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
         json.dump({
@@ -60,7 +69,10 @@ def main():
             "stream_sha": hashlib.sha256(stream).hexdigest(),
             "plain_ok": plain == data,
             "seg_ok": seg_ok,
+            "dseg_ok": dseg_ok,
+            "dseg_len": len(dseg),
             "dcn_sizes_only": dcn_local,
+            "dcn_decode_local": dcn_decode_local,
             "dcn_total": multihost.DCN_BYTES,
         }, f)
 

@@ -97,6 +97,72 @@ def test_decode_matches_reference_on_trailing_block():
     assert dec_mod.decode(e1 + e2) == b"hello worldgoodbye"
 
 
+# --- round-4/5 decode safety valves ---------------------------------------
+
+def _dense_run_block() -> bytes:
+    """A block whose MEAN symbol density fits the ECW clamp but whose run
+    region locally exceeds it: ~28 KB of near-uniform bytes (deep codes,
+    sparse emission) followed by two 18 KB two-symbol runs (2-bit codes,
+    ~4 symbols per payload byte)."""
+    rng = np.random.default_rng(77)
+    head = rng.integers(0, 256, 28 << 10, dtype=np.uint8).tobytes()
+    return head + b"a" * (18 << 10) + b"b" * (18 << 10)
+
+
+def test_emit_capacity_overflow_falls_back_exactly():
+    """ECW underestimates the run region -> emit_ovf -> host re-decode
+    stays wire exact (decode.py _apply_plan_results first branch)."""
+    import jax.numpy as jnp
+    from libhuffman_tpu import decode as dec_mod
+    from libhuffman_tpu import native
+    from libhuffman_tpu.ops import decode_v3 as ddec
+
+    if not native.available():
+        pytest.skip("needs the native table builder")
+    data = _dense_run_block()
+    enc = enc_mod.encode(data, 0)  # one 64 KB block
+    plans, _ = dec_mod.build_device_plans(enc)
+    assert len(plans) == 1 and plans[0].ecw is not None, (
+        "construction must produce a clamped single-block plan")
+    p = plans[0]
+    res = ddec.decode_blocks(
+        jnp.asarray(p.words), jnp.asarray(p.tables), jnp.asarray(p.n_sym),
+        jnp.asarray(p.caps), p.NP, p.OUTW, p.ns, p.ecw)
+    eovf = np.asarray(res[4])
+    assert eovf[0], "the run region must overflow the density-derived ECW"
+    # Driver-level: the emit_ovf block re-decodes exactly on the host.
+    assert dec_mod.decode(enc) == data
+
+
+def test_tightened_cap_short_read_retries_on_host(monkeypatch):
+    """A speculative cap tightened below the true payload (the
+    false-positive-candidate-inside-payload scenario) must route the block
+    back to the host-exact walk, not raise or corrupt
+    (decode.py _apply_plan_results cap < avail branches)."""
+    from libhuffman_tpu import decode as dec_mod
+    from libhuffman_tpu import native
+
+    data = (b"The retry path must stay byte-exact under short caps. " * 3000
+            )[:96 << 10]
+    enc = enc_mod.encode(data, 4096)
+    orig = dec_mod._payload_cap
+    monkeypatch.setattr(
+        dec_mod, "_payload_cap",
+        lambda c, depth, nxt: max(96, orig(c, depth, nxt) // 3))
+    fallbacks = []
+    if native.available():
+        orig_scan = native.scan_stream
+
+        def spy(*a, **kw):
+            fallbacks.append(1)
+            return orig_scan(*a, **kw)
+
+        monkeypatch.setattr(native, "scan_stream", spy)
+    assert dec_mod.decode(enc) == data
+    if native.available():
+        assert fallbacks, "short caps must exercise the host retry path"
+
+
 # --- decode_v3 kernel internals -------------------------------------------
 
 @pytest.mark.parametrize("maxl", [10, 25])
