@@ -217,7 +217,8 @@ def bench_decode_device(enc: bytes, repeat=3):
          jax.device_put(jnp.asarray(p.caps)))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw, p.narrow)
+                   for p in plans)
     from libhuffman_tpu.ops import decode_v3 as ddec
 
     # One fused dispatch for the whole stream, checksum included (dispatch

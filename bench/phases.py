@@ -70,8 +70,9 @@ def profile_encode(data: np.ndarray, bs: int, repeat=3):
     import jax.numpy as jnp
 
     from libhuffman_tpu.ops import device as dev
+    from libhuffman_tpu import encode as enc_mod
 
-    BB = 256
+    BB = enc_mod.DEFAULT_BATCH_BLOCKS
     n = min(len(data), BB * bs)
     arr = np.zeros((BB, bs), np.uint8)
     arr.reshape(-1)[:n] = data[:n]
@@ -124,7 +125,8 @@ def profile_decode(enc: bytes, repeat=3):
          jax.device_put(jnp.asarray(p.caps)))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw, p.narrow)
+                   for p in plans)
 
     # ONE fused dispatch per ablation level; subtract one trivial-dispatch
     # RTT.  Per-plan dispatching cannot be decomposed honestly: serialized

@@ -98,11 +98,23 @@ def _b_bucket(n: int) -> int:
 _PAD_TABLE = None
 
 
+def _narrow_flags(tables: np.ndarray) -> np.ndarray:
+    """Per-block narrow-stage-1 eligibility: every non-terminal LUT10
+    entry (a live state id at cut 10) is <= 31, so the whole stage-1
+    table fits the first 256 entries = packed row 4 and the resolve
+    kernel does ONE chunk permute instead of four (98% of enwik-like
+    blocks; measured round 5)."""
+    cells = tables[:, :4, :].reshape(len(tables), -1)
+    ents = np.concatenate([cells & 0xFFFF, cells >> 16], axis=1)
+    sid = np.where((ents & 0x8000) == 0, ents, 0)
+    return sid.max(axis=1) <= 31 if len(tables) else np.zeros(0, bool)
+
+
 def _pad_table() -> np.ndarray:
     global _PAD_TABLE
     if _PAD_TABLE is None:
-        # Two packed 16-bit DONE|BAD entries per u32 cell.
-        e = (1 << 15) | (1 << 14)
+        # Two packed 16-bit DONE (len 0 = dead) entries per u32 cell.
+        e = 1 << 15
         _PAD_TABLE = np.full((native.TAB_ROWS, 128), e | (e << 16),
                              np.uint32)
     return _PAD_TABLE
@@ -160,6 +172,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate],
     )
 
     next_off = _next_candidate_offsets(cands)
+    narrow_all = _narrow_flags(tables_all)
     eligible = []
     for i, c in enumerate(pending):
         ns = int(nstages_all[i])
@@ -179,7 +192,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate],
             # minimum of the chain kernel: host/native path.
             c.fallback = True
             continue
-        eligible.append((c, tables_all[i], cap, ns))
+        eligible.append((c, tables_all[i], cap, ns, bool(narrow_all[i])))
 
     plans = _build_plans(data, eligible,
                          lane_mult=mesh.devices.size if mesh else 1)
@@ -196,7 +209,7 @@ def _decode_candidates_device(data: np.ndarray, cands: list[_Candidate],
 
 class _Plan:
     __slots__ = ("words", "tables", "n_sym", "caps", "NP", "OUTW", "ns",
-                 "ecw", "batch")
+                 "ecw", "narrow", "batch")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -234,10 +247,11 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
                  ) -> list[_Plan]:
     """Shape-homogeneous device batches from eligible candidates.
 
-    Sorted by (stage count, cap): batching same-NS blocks together keeps
-    shallow-tree blocks off the deeper (more expensive) resolve cascades —
-    a plan's NS is the max over its batch."""
-    eligible = sorted(eligible, key=lambda e: (e[3], e[2]))
+    Sorted by (stage count, narrowness, cap): batching same-NS blocks
+    together keeps shallow-tree blocks off the deeper (more expensive)
+    resolve cascades — a plan's NS is the max over its batch, and its
+    narrow flag the AND (narrow stage 1 needs every block narrow)."""
+    eligible = sorted(eligible, key=lambda e: (e[3], not e[4], e[2]))
     plans = []
     i = 0
     while i < len(eligible):
@@ -267,7 +281,7 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         csize = min(csize, run)
         batch = eligible[i : i + csize]
         i += len(batch)
-        assert all(cap <= P for (_c, _t, cap, _n) in batch)
+        assert all(cap <= P for (_c, _t, cap, _n, _nw) in batch)
         B = _b_bucket(len(batch))
         if lane_mult > 1:
             B = -(-B // lane_mult) * lane_mult
@@ -276,15 +290,17 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         n_sym = np.ones(B, np.int32)
         max_sym = 1
         ns = 0
+        narrow = True
         offs = np.full(B, -1, np.int64)
         caps = np.zeros(B, np.int64)
-        for b, (c, tab, cap, cns) in enumerate(batch):
+        for b, (c, tab, cap, cns, cnw) in enumerate(batch):
             offs[b] = c.payload_off
             caps[b] = min(cap, P)
             tables[b] = tab
             n_sym[b] = c.n_sym
             max_sym = max(max_sym, c.n_sym)
             ns = max(ns, cns)
+            narrow = narrow and cnw
         # Emission-capacity clamp (words per 64 groups) from the batch's
         # densest block: 64 groups hold 64 payload bytes, so a block's
         # mean content is 16*n_sym/cap words per 64 groups; x1.5 margin
@@ -292,7 +308,7 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         # toward the mean), and the emit_ovf flag -> host re-decode
         # covers the rest.  None (exact) above 48.
         dens = 0
-        for (c, _t, cp, _n) in batch:
+        for (c, _t, cp, _n, _nw) in batch:
             cp = max(int(cp), 1)
             dens = max(dens, (24 * c.n_sym + cp - 1) // cp)
         ecw = -(-max(dens, 16) // 8) * 8  # bucket to multiples of 8
@@ -305,7 +321,7 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
                 B, (W + 128) // 128, 128)
         else:
             wbytes = np.zeros((B, 4 * (W + 128)), np.uint8)
-            for b, (c, tab, cap, cns) in enumerate(batch):
+            for b, (c, tab, cap, cns, _nw) in enumerate(batch):
                 seg = data[c.payload_off : c.payload_off + min(cap, P)]
                 wbytes[b, : len(seg)] = seg
             # Big-endian u32 words via a dtype view (single byteswap pass).
@@ -314,7 +330,8 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         OUTW = _bucket(max_sym, 512) // 4
         plans.append(_Plan(words=words, tables=tables, n_sym=n_sym,
                            caps=caps.astype(np.int32), NP=NP, OUTW=OUTW,
-                           ns=ns, ecw=ecw, batch=batch))
+                           ns=ns, ecw=ecw, narrow=narrow and ns >= 1,
+                           batch=batch))
     return plans
 
 
@@ -327,7 +344,8 @@ def _run_plans(plans: list[_Plan], mesh=None):
     import jax.numpy as jnp
 
     for p in plans:
-        _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns, p.ecw))
+        _COMPILE_KEYS.add((p.words.shape[0], p.NP, p.OUTW, p.ns, p.ecw,
+                           p.narrow))
     if mesh is not None:
         from .parallel.shard import decode_plans_sharded
 
@@ -337,7 +355,7 @@ def _run_plans(plans: list[_Plan], mesh=None):
          jnp.asarray(p.n_sym), jnp.asarray(p.caps))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw, p.narrow) for p in plans)
     return ddec.decode_blocks_many(arrays, shapes)
 
 
@@ -401,6 +419,7 @@ def build_device_plans(enc: bytes):
         native.build_decode_tables(bufs, offs2, lens)
     )
     next_off = _next_candidate_offsets(cands)
+    narrow_all = _narrow_flags(tables_all)
     eligible = []
     n_out = 0
     for i, c in enumerate(cands):
@@ -410,13 +429,13 @@ def build_device_plans(enc: bytes):
         cap = _payload_cap(c, int(maxdep_all[i]), next_off.get(c.off))
         if cap > (1 << 18):
             continue
-        eligible.append((c, tables_all[i], cap, ns))
+        eligible.append((c, tables_all[i], cap, ns, bool(narrow_all[i])))
         n_out += c.n_sym
     return _build_plans(buf, eligible), n_out
 
 
 def _apply_plan_results(plan, out_h, end_h, cor_h, bad_h, eovf_h=None):
-    for b, (c, _tab, cap, _ns) in enumerate(plan.batch):
+    for b, (c, _tab, cap, _ns, _nw) in enumerate(plan.batch):
         if eovf_h is not None and eovf_h[b]:
             # Emission capacity clamped this block out (denser than the
             # plan's ECW estimate): host-exact re-decode.

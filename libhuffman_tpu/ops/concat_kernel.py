@@ -56,6 +56,19 @@ def bitrev_permute(x: jax.Array) -> jax.Array:
     return view.transpose(perm).reshape(B, N)
 
 
+def bitrev_t(x: jax.Array) -> jax.Array:
+    """(N, B) -> (B, N) with the N axis in bit-reversed order: the
+    transpose and the bitrev compose into ONE XLA copy (the decode
+    emission feeds the chain kernel's string-major outputs straight into
+    the merge tree without an intermediate natural-order plane)."""
+    N, B = x.shape
+    n = N.bit_length() - 1
+    assert 1 << n == N, N
+    view = x.reshape((2,) * n + (B,))
+    perm = (n,) + tuple(range(n - 1, -1, -1))
+    return view.transpose(perm).reshape(B, N)
+
+
 def _word_barrel(b2, s, axis: int, max_shift: int):
     """Shift words toward higher indices along ``axis`` by per-string word
     counts s in [0, max_shift]; vacated words zero-fill."""
@@ -110,11 +123,27 @@ GB = 8  # blocks per grid step: level op count is constant per step, so
 # small shapes).  8 sublane-rows also keep every canvas slice tile-aligned.
 
 
-def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None):
+def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
+                        lens_packed: bool = False):
     def kernel(w_ref, l_ref, out_ref, ovf_ref):
         # Plane-major with a block axis: x (cap, GB, P/128, 128).
         x = w_ref[:].reshape(1, GB, N // 128, 128)
-        lens = l_ref[:]                              # (GB, N/128, 128)
+        if lens_packed:
+            # Byte j of cell c = symbol count (<= 4) of string c + j*N/4;
+            # the stride-N/4 packing makes the unpack a plain byte
+            # extract + row concat (no shuffle), and the HBM input is 4x
+            # smaller than i32 bit lengths.
+            lp = l_ref[:]                            # (GB, N/512, 128) u32
+            lens = jnp.concatenate(
+                [((lp >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+                  ).astype(jnp.int32) for j in range(4)],
+                axis=1) * 8                          # (GB, N/128, 128) bits
+            # Dead strings (live-masked counts) may carry garbage content
+            # (the decode chain's zero-padding groups): zero them here so
+            # the caller needs no full-plane XLA mask pass.
+            x = jnp.where((lens > 0)[None], x, jnp.uint32(0))
+        else:
+            lens = l_ref[:]                          # (GB, N/128, 128)
         P, cap = N, 1
         ov = jnp.zeros((GB, 1, 128), jnp.int32)
 
@@ -286,3 +315,52 @@ def concat_words(level0: jax.Array, lens: jax.Array, OUTW: int) -> jax.Array:
     """Unclamped concatenation: exact at any code length, never overflows."""
     words, _ = concat_words_ovf(level0, lens, OUTW, None)
     return words
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def concat_groups_ovf(level0: jax.Array, gcpacked: jax.Array, OUTW: int,
+                      capw: int | None = None):
+    """Decode-emission specialization of :func:`concat_words_ovf`.
+
+    level0:   (B, N) u32, ALREADY in bit-reversed string order (the chain
+              kernel's gw plane through one fused bitrev_t copy) and
+              already left-aligned (the chain kernel aligns at group
+              close); byte strings, bits past 8*count zero.
+    gcpacked: (B, N // 4) u32 — per-string symbol counts (<= 4), byte j of
+              cell c belonging to string c + j * N / 4.
+    N a power of two >= 512; OUTW a multiple of 128.  Same return contract
+    as concat_words_ovf.
+    """
+    B, N = level0.shape
+    assert N >= 512 and N & (N - 1) == 0, N
+    assert OUTW % 128 == 0, OUTW
+    Bp = -(-B // GB) * GB
+    if Bp != B:
+        level0 = jnp.pad(level0, ((0, Bp - B), (0, 0)))
+        gcpacked = jnp.pad(gcpacked, ((0, Bp - B), (0, 0)))
+    words, ovf = pl.pallas_call(
+        _concat_kernel_body(N, OUTW, capw, lens_packed=True),
+        grid=(Bp // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, N // 512, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GB, OUTW // 128, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, OUTW // 128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, 8, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(level0.reshape(Bp, N // 128, 128),
+      gcpacked.reshape(Bp, N // 512, 128))
+    return (words.reshape(Bp, OUTW)[:B],
+            jnp.max(ovf, axis=(1, 2))[:B] > 0)

@@ -18,13 +18,15 @@ lookups/s for 128-wide tables (bench/probe_r3e.py):
                           x 3-bit tails; covers code depth <= 25
                           uniformly — no escape compaction, no device
                           LUT build.
-            The terminal table entry is translated in-kernel to the
-            chain's compact composite (aux(8) << 8 | len(6); len == 0
-            marks a dead/corrupt position whose aux byte is the fail
-            offset) and ADJACENT POSITION PAIRS pack into one u32 —
-            round-5 measurement: the chain kernel is load-bound, so
-            halving its input bytes sped it ~1.7x, and XLA transposes
-            the pair plane at ~180 G pos/s (bench/probe_r5_decode.py).
+            Terminal table entries arrive PRE-TRANSLATED from the
+            native builder (DONE(15) | aux(13:6) | len(5:0); len == 0
+            marks a dead/corrupt position whose aux field is the fail
+            offset), so the kernel just packs ADJACENT POSITION PAIRS
+            into one u32 — round-5 measurements: the chain kernel is
+            load-bound, so halving its input bytes sped it ~1.7x, XLA
+            transposes the pair plane at ~180 G pos/s, and storing raw
+            entries killed the ~6-op in-kernel translate
+            (bench/probe_r5_decode.py).
   kernel 2  chain_emit — the linear boolean recurrence
               is_start(p) = OR_l is_start(p-l) & (len(p-l) == l)
             sequential over positions (the true data dependency,
@@ -64,7 +66,6 @@ TAB_ROWS = 13  # packed: 4 LUT10 + 4 stage1 + 2 tail1(64st) + 3 tails; 2 entries
 MAXL_OF_NS = (10, 13, 16, 19, 22, 25)
 
 _DONE = 1 << 15
-_BAD = 1 << 14
 
 
 def _interpret() -> bool:
@@ -125,7 +126,7 @@ def _lookup512p(rows, idx):
     return (g >> sh) & jnp.uint32(0xFFFF)
 
 
-def _resolve_kernel_body(NS: int, RW: int):
+def _resolve_kernel_body(NS: int, RW: int, NARROW: bool):
     def kernel(words_ref, tab_ref, meta_ref):
         lut10 = [tab_ref[0, c:c + 1, :] for c in range(4)]  # (1, 128) rows
         s1 = [tab_ref[0, 4 + c:5 + c, :] for c in range(4)]
@@ -147,7 +148,17 @@ def _resolve_kernel_body(NS: int, RW: int):
                 win = (w << su) | ((wn >> 1) >> (jnp.uint32(31) - su))
                 idx10 = (win >> jnp.uint32(22)).astype(jnp.int32)
                 e = _lookup1024p(lut10, idx10)
-                if NS >= 1:
+                if NS >= 1 and NARROW:
+                    # Narrow stage 1: <= 32 live states at cut 10 (98% of
+                    # enwik-like blocks, measured round 5) occupy only the
+                    # first 256 stage-1 entries = packed row 4 — ONE chunk
+                    # permute instead of four (the 1024-entry stage-1
+                    # lookup dominated the cascade wall).
+                    idx2 = (((e & 31) << 3)
+                            | ((win >> jnp.uint32(19)) & 7)).astype(jnp.int32)
+                    e2 = _lookup256p(s1[0], idx2)
+                    e = jnp.where(e & _DONE != 0, e, e2)
+                elif NS >= 1:
                     # Stage 1: 128 states x 3 bits (cut 10 -> 13).
                     idx2 = (((e & 127) << 3)
                             | ((win >> jnp.uint32(19)) & 7)).astype(jnp.int32)
@@ -164,15 +175,11 @@ def _resolve_kernel_body(NS: int, RW: int):
                         idxk = (((e & 31) << 3) | bits3).astype(jnp.int32)
                         ek = _lookup256p(tail[k - 3], idxk)
                     e = jnp.where(e & _DONE != 0, e, ek)
-                # Translate the raw terminal entry (DONE | bad << 14 |
-                # lnfail(6) << 8 | sym(8)) to the chain composite
-                # aux(8) << 8 | len(6): len 0 marks bad/dead, whose aux
-                # byte carries the fail offset instead of the symbol.
-                lnf = (e >> 8) & 63
-                bad = (e & _BAD) != 0
-                ln = jnp.where(bad, 0, lnf)
-                aux = jnp.where(bad, lnf, e & 255)
-                return (aux << 8) | ln
+                # Terminal entries arrive PRE-TRANSLATED from the native
+                # builder: DONE(15) | aux(13:6) | len(5:0), len == 0 =
+                # dead/corrupt with aux = fail offset (round-5: the
+                # in-kernel translate cost ~6 VPU ops/position).
+                return e
 
             def phase_pair(s2, _):
                 lo = resolve_at(2 * s2)
@@ -188,19 +195,23 @@ def _resolve_kernel_body(NS: int, RW: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int,
+                   NARROW: bool = False) -> jax.Array:
     """Per-position codeword resolution for a block batch.
 
     words:  (B, WR + 1, 128) u32 big-endian payload words, the last row
             zero padding (windows read one word ahead).
     tables: (B, TAB_ROWS, 128) u32 packed resolve tables (native build).
     NS:     static lookup-stage count; codes <= MAXL_OF_NS[NS] bits.
+    NARROW: every block in the batch has <= 32 live states at cut 10
+            (single-permute stage 1; the driver verifies per block).
 
     Returns meta (B, 16, WR, 128) u32 in pair-plane layout — positions
     p = 32 * w + 2 * s2 and p + 1 of block b live in the low/high halves
-    of meta[b, s2, w // 128, w % 128]: each u16 half is the translated
-    composite aux(8) << 8 | len(6) (len == 0: dead/corrupt, aux = fail
+    of meta[b, s2, w // 128, w % 128]: each u16 half is the RAW terminal
+    table entry, pre-translated by the native builder to
+    DONE(15) | aux(13:6) | len(5:0) (len == 0: dead/corrupt, aux = fail
     offset; else aux = decoded symbol).
     """
     B, WRp1, _ = words.shape
@@ -219,7 +230,7 @@ def resolve_blocks(words: jax.Array, tables: jax.Array, NS: int) -> jax.Array:
     # with NP = 2^21); the words row is re-fetched per tile step, a ~4x
     # HBM read amplification that is still < 1 ms at bench scale.
     return pl.pallas_call(
-        _resolve_kernel_body(NS, RW),
+        _resolve_kernel_body(NS, RW, NARROW),
         grid=(B, WR // RW),
         in_specs=[
             pl.BlockSpec((1, WRp1, 128), lambda b, t: (b, 0, 0),
@@ -242,7 +253,7 @@ SP = 512  # positions per grid step
 
 
 def _chain_kernel_body(SB: int):
-    def kernel(meta_ref, start_ref, gw_ref, gr_ref, state_ref):
+    def kernel(meta_ref, start_ref, gw_ref, gc4_ref, gr32_ref, state_ref):
         first = pl.program_id(0) == 0
 
         @pl.when(first)
@@ -256,16 +267,18 @@ def _chain_kernel_body(SB: int):
             pend, cnt = carry
             word = pend & 0  # u32 zeros with a concrete layout
             gw = pend & 0
+            c4 = pend & 0
+            cprev = cnt
             for h in range(16):
                 m2 = meta_ref[16 * j + h].astype(jnp.uint32)
                 for half in range(2):
                     t = 2 * h + half
-                    # Composite halfword: aux(8) << 8 | len(6).
+                    # Composite halfword: DONE | aux(13:6) | len(5:0).
                     if half == 0:
-                        sym = (m2 >> 8) & 255
+                        sym = (m2 >> 6) & 255
                         ln = m2 & 63
                     else:
-                        sym = m2 >> 24
+                        sym = (m2 >> 22) & 255
                         ln = (m2 >> 16) & 63
                     new = pend & 1
                     started = new == 1
@@ -277,10 +290,18 @@ def _chain_kernel_body(SB: int):
                     cnt = cnt + new
                     pend = (pend >> 1) | jnp.where(started, sched, 0)
                     if t % 8 == 7:
-                        gw_ref[4 * j + t // 8] = gw
-                        gr_ref[4 * j + t // 8] = cnt
+                        # Left-align at group close ((32 - 8c) & 31; c = 0
+                        # leaves gw zero): the emission consumes the plane
+                        # directly, with no XLA align pass.
+                        gcnt = cnt - cprev
+                        gw_ref[4 * j + t // 8] = gw << (
+                            (jnp.uint32(32) - (gcnt << 3)) & 31)
+                        c4 = c4 | (gcnt << (8 * (t // 8)))
+                        cprev = cnt
                         gw = pend & 0
             start_ref[j] = word
+            gc4_ref[j] = c4
+            gr32_ref[j] = cnt
             return pend, cnt
 
         pend, cnt = jax.lax.fori_loop(
@@ -296,20 +317,27 @@ def chain_emit(meta2: jax.Array):
     """is_start bits + per-8-position emission groups for every block.
 
     meta2: (NP // 2, B) u32 position-major pair plane: positions 2r and
-    2r + 1 in the low/high u16 halves of row r, each the composite
-    aux(8) << 8 | len(6) (len == 0 = dead position; the schedule mask is
-    computed in-kernel as (1 << len) >> 1).  Round-5 measurement: the
+    2r + 1 in the low/high u16 halves of row r, each the pre-translated
+    entry aux(13:6) | len(5:0) (len == 0 = dead position; the schedule
+    mask is computed in-kernel as (1 << len) >> 1).  Round-5 measurement: the
     kernel is VMEM-load-bound, so the paired plane runs ~1.7x faster
     than the round-4 one-position-per-u32 layout despite ~3 more ALU ops
     per position, and one layout serves every NS bucket.
     Returns
       start (NP // 32, B) u32 — bit t of word w = is_start(32w + t),
-      gw    (NP // 8, B) u32  — started symbols of the group, RIGHT-aligned
-            insertion order (first started symbol in the highest occupied
-            byte); left-align in XLA via << (32 - 8 * count),
-      grank (NP // 8, B) u32  — RUNNING started-symbol total through the
-            group (inclusive prefix count — replaces an XLA cumsum over
-            the group axis in the bookkeeping).
+      gw    (NP // 8, B) u32  — started symbols of the group in insertion
+            order, LEFT-aligned at group close (first started symbol in
+            the top byte, bits past 8 * count zero): the emission merge
+            tree consumes this plane with no XLA align pass,
+      gc4   (NP // 32, B) u32 — PACKED per-group symbol counts, byte k =
+            count of group 4j + k.  An axis-0 bitrev of this plane IS the
+            merge tree's stride-N/4 packed-lens layout (the low two bits
+            of a bit-reversed index land in the top two positions), so no
+            unpack/repack pass exists,
+      gr32  (NP // 32, B) u32 — running started-symbol total through each
+            stripe's last group (the bookkeeping refines within a stripe
+            from gc4's four bytes; replaces both the per-group running
+            totals and any XLA cumsum).
 
     Group bad-masks are no longer kernel outputs: started-and-bad =
     start_bits & bad_bits, both available as packed words on the XLA side.
@@ -329,7 +357,7 @@ def chain_emit(meta2: jax.Array):
     SB = B_pad // 128
     grid = NP // SP
     kernel = _chain_kernel_body(SB)
-    start, gw, gr = pl.pallas_call(
+    start, gw, gc4, gr32 = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -341,13 +369,16 @@ def chain_emit(meta2: jax.Array):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SP // 8, SB, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((SP // 32, SB, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SP // 32, SB, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
             jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((NP // 8, SB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((NP // 32, SB, 128), jnp.uint32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, SB, 128), jnp.uint32),
@@ -356,20 +387,31 @@ def chain_emit(meta2: jax.Array):
     )(jax.lax.bitcast_convert_type(meta2, jnp.int32).reshape(NP2, SB, 128))
     return (start.reshape(NP // 32, B_pad)[:, :B],
             gw.reshape(NP // 8, B_pad)[:, :B],
-            gr.reshape(NP // 8, B_pad)[:, :B])
+            gc4.reshape(NP // 32, B_pad)[:, :B],
+            gr32.reshape(NP // 32, B_pad)[:, :B])
 
 
 # --------------------------------------------------------------------------
 # Emission + bookkeeping (XLA)
 # --------------------------------------------------------------------------
 
-def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int,
-                 ecapw: int | None = None):
+def _emit_from_chain(gw_t: jax.Array, gc4m: jax.Array,
+                     OUTW: int, ecapw: int | None = None):
     """Concatenate per-group byte strings (VMEM merge-tree kernel).
 
-    gw is already a left-aligned MSB-first bitstring of length 8 * gc, so
-    it feeds the generic concatenation kernel directly.  Falls back to the
-    XLA merge tree for group counts below the kernel's minimum.
+    gw_t is the chain kernel's (NG, B) group plane, already left-aligned
+    in-kernel (no XLA align pass; dead groups' content is zeroed inside
+    the merge tree from their zero counts).  gc4m is the (B, NG // 4)
+    packed count plane, already live-masked by the caller: byte k of cell
+    c = symbols in group 4c + k.  An axis-1 bitrev of gc4m IS the merge
+    tree's stride-N/4 packed-lens layout — bitrev maps a cell's low two
+    index bits to the top two positions, so cell (c, byte k) lands at
+    (brev(c), string + k * N / 4) with zero repacking.  The transpose and
+    the gw bitrev stay two separate copies deliberately: a single fused
+    (N, B) -> (B, brev N) copy reverses every dimension, which XLA lowers
+    ~2x slower than plain .T plus an axis-1 bitrev (measured round 5).
+    Falls back to the natural-order XLA merge tree below the kernel's
+    minimum string count.
 
     ``ecapw`` clamps the merge tree's intermediate capacities (words per
     64 groups; None = exact): the driver derives it from each plan's
@@ -377,27 +419,43 @@ def _emit_groups(gw: jax.Array, gc: jax.Array, OUTW: int,
     ovf=True — the caller re-decodes it on the host-exact path.
     Returns (out_bytes, ovf).
     """
-    NG = gw.shape[1]
+    NG, B = gw_t.shape
     # The merge tree's halving levels need a pow2 string count; fine
     # (non-pow2) plan buckets pad with empty groups, which concatenate as
     # zero-length strings.  The earlier kernel passes (resolve, chain,
     # transpose) already saved the dead-position work.
     NG2 = 1 << max(8, (NG - 1).bit_length())
-    if NG2 != NG:
-        gw = jnp.pad(gw, ((0, 0), (0, NG2 - NG)))
-        gc = jnp.pad(gc, ((0, 0), (0, NG2 - NG)))
-        NG = NG2
-    if NG >= 256 and OUTW % 128 == 0:
-        words, ovf = concat_kernel.concat_words_ovf(gw, gc * 8, OUTW, ecapw)
+    if NG2 >= 512 and OUTW % 128 == 0:
+        gw = gw_t.T
+        gc4p = gc4m
+        if NG2 != NG:
+            gw = jnp.pad(gw, ((0, 0), (0, NG2 - NG)))
+            gc4p = jnp.pad(gc4p, ((0, 0), (0, (NG2 - NG) // 4)))
+        gw_b = concat_kernel.bitrev_permute(gw)
+        gcp_b = concat_kernel.bitrev_permute(gc4p)
+        # bitrev sends group 4c + k to quarter rev2(k) (the reversed LOW
+        # two bits become the TOP two), so byte k must serve quarter
+        # rev2(k): swap the middle bytes of every cell.
+        gcp_b = ((gcp_b & jnp.uint32(0xFF0000FF))
+                 | ((gcp_b & jnp.uint32(0xFF00)) << 8)
+                 | ((gcp_b >> 8) & jnp.uint32(0xFF00)))
+        words, ovf = concat_kernel.concat_groups_ovf(gw_b, gcp_b, OUTW,
+                                                     ecapw)
     else:
+        # Unpack the per-cell counts to per-group (interleaved order).
+        gc = jnp.stack(
+            [(gc4m >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+             for k in range(4)], axis=2
+        ).reshape(B, -1)[:, :NG].astype(jnp.int32)
+        gw = jnp.where(gc > 0, gw_t.T, 0)  # already left-aligned in-kernel
         strings, glens = pack_tree._soa_levels(gw, gc * 8, 3)
         words, _ = pack_tree.concat_bitstrings(strings, glens, max_cap=OUTW)
         if words.shape[1] < OUTW:
             words = jnp.pad(words, ((0, 0), (0, OUTW - words.shape[1])))
-        ovf = jnp.zeros(gw.shape[0], bool)
+        ovf = jnp.zeros(B, bool)
     out = jnp.stack(
         [(words >> 24), (words >> 16), (words >> 8), words], axis=-1
-    ).astype(jnp.uint8).reshape(gw.shape[0], 4 * OUTW)
+    ).astype(jnp.uint8).reshape(B, 4 * OUTW)
     return out, ovf
 
 
@@ -412,9 +470,9 @@ def _gather_rows_small(arr: jax.Array, idx: jax.Array) -> jax.Array:
         jnp.where(iota == idx[:, None], arr, jnp.zeros_like(arr)), axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
-                  ECW: int | None = None):
+                  ECW: int | None = None, NARROW: bool = False):
     """Decode a batch of blocks.
 
     words:  (B, NP // 4096 + 1, 128) u32 padded big-endian payload words;
@@ -439,7 +497,7 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     """
     B = words.shape[0]
     W = NP // 32
-    meta = resolve_blocks(words, tables, NS)  # (B, 16, WR, 128) u32 pairs
+    meta = resolve_blocks(words, tables, NS, NARROW)  # (B,16,WR,128) pairs
     meta = jax.lax.optimization_barrier(meta)
     e2 = meta.reshape(B, 16, W)
     ln_lo = e2 & 63
@@ -454,19 +512,26 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     # Position-major pair plane for the chain: row r = positions 2r, 2r+1.
     meta_t = jnp.transpose(e2, (2, 1, 0)).reshape(NP // 2, B)
 
-    start_w, gw_t, gr_t = chain_emit(meta_t)
+    start_w, gw_t, gc4_t, gr32_t = chain_emit(meta_t)
     start_w = jax.lax.optimization_barrier(start_w)
-    grank = gr_t.T.astype(jnp.int32)  # (B, NG) inclusive running totals
-    gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
-    # Kernel gw is right-aligned insertion order; left-align for emission.
-    # Groups past the staged payload (zero padding can resolve to dense
-    # garbage starts) are masked out: their symbols can never be within
-    # the first n_sym of a block that completes inside its cap.
-    giota = jax.lax.broadcasted_iota(jnp.int32, gc.shape, 1)
-    live = giota < n_cap.astype(jnp.int32)[:, None]
-    gc = jnp.where(live, gc, 0)
-    gwu = jnp.where(live, gw_t.T, 0)
-    gw = gwu << ((jnp.uint32(32) - (gc.astype(jnp.uint32) << 3)) & 31)
+    gc4n = gc4_t.T  # (B, NG/4) u32: byte k of cell c = count of group 4c+k
+    gr32 = gr32_t.T.astype(jnp.int32)  # (B, NG/4) totals through 4c+3
+    # Live-mask the count cells: groups past the staged payload (zero
+    # padding can resolve to dense garbage starts) must not emit — their
+    # symbols can never be within the first n_sym of a block that
+    # completes inside its cap.  Byte-granular: cell c keeps byte k iff
+    # 4c + k < n_cap.
+    NG4 = gc4n.shape[1]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (B, NG4), 1)
+    ncap = n_cap.astype(jnp.int32)
+    full = ncap[:, None] // 4
+    rem = (ncap[:, None] % 4).astype(jnp.uint32)
+    keep = jnp.where(
+        ci < full, jnp.uint32(0xFFFFFFFF),
+        jnp.where(ci == full, (jnp.uint32(1) << (8 * rem)) - 1,
+                  jnp.uint32(0)))
+    gc4m = gc4n & keep
+
     # started-and-bad masks from start bits & per-position bad bits.
     sw_bT0 = start_w.T  # (B, W)
     sb_and = sw_bT0 & badw  # (B, W)
@@ -474,13 +539,15 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     gb = ((sb_and[:, :, None] >> bshifts) & jnp.uint32(0xFF)
           ).reshape(B, 4 * W).astype(jnp.int32)
 
-    out, emit_ovf = _emit_groups(gw, gc, OUTW, ECW)
+    out, emit_ovf = _emit_from_chain(gw_t, gc4m, OUTW, ECW)
 
     # --- bookkeeping (reference decoder.c:52-91 semantics) ---
-    # All group-granular: per-block scalars come from single gathers into
-    # the (B, NG)/(B, 16*W) planes — no (B, NP) expansions.
+    # Cell-granular: per-block scalars come from single gathers into the
+    # (B, NG/4)/(B, 16*W) planes — no (B, NG) or (B, NP) expansions; the
+    # within-cell refinement unpacks four count bytes.
     sw_bT = sw_bT0.astype(jnp.int32)  # (B, W): group g = byte g%4, word g//4
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
     e2_flat = e2.reshape(B, 16 * W)
 
     def group_start_mask(g):
@@ -488,21 +555,37 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
         return (word >> ((g % 4) * 8)) & 0xFF
 
     def composite_at(p):
-        # The u16 composite of position p = 32w + s, gathered from the
-        # pair plane: cell (s // 2) * W + w, half s & 1.
+        # The u16 entry (aux(13:6) | len(5:0)) of position p = 32w + s,
+        # gathered from the pair plane: cell (s // 2) * W + w, half s & 1.
         cell = _gather_rows_small(e2_flat, (p % 32) // 2 * W + p // 32)
         return (cell >> (16 * (p & 1).astype(jnp.uint32))) & 0xFFFF
 
-    # grank comes from the chain kernel (running totals) — no XLA cumsum.
-    total = grank[:, -1]
+    def cell_counts(cell_idx):
+        # (B, 4) per-group counts of count-cell cell_idx.
+        v = _gather_rows_small(gc4n, cell_idx)
+        return ((v[:, None] >> (8 * iota4).astype(jnp.uint32))
+                & 0xFF).astype(jnp.int32)
+
+    def locate(target):
+        # First group g with running_total(g) >= target (target >= 1):
+        # coarse cell search + 4-byte refinement.  Returns (g, before_g).
+        cstar = jnp.argmax(gr32 >= target[:, None], axis=1).astype(jnp.int32)
+        before_c = jnp.where(
+            cstar > 0,
+            _gather_rows_small(gr32, jnp.maximum(cstar - 1, 0)), 0)
+        cnts = cell_counts(cstar)
+        pref = jnp.cumsum(cnts, axis=1)  # inclusive within-cell prefix
+        kk = jnp.argmax(before_c[:, None] + pref >= target[:, None],
+                        axis=1).astype(jnp.int32)
+        before_g = before_c + jnp.sum(
+            jnp.where(iota4 < kk[:, None], cnts, 0), axis=1)
+        return cstar * 4 + kk, before_g
+
+    # gr32 comes from the chain kernel (stripe totals) — no XLA cumsum.
+    total = gr32[:, -1]
     reached = total >= n_sym
-    g_star = jnp.argmax(grank >= n_sym[:, None], axis=1).astype(jnp.int32)
+    g_star, before = locate(jnp.maximum(n_sym, 1))
     g_star = jnp.where(reached, g_star, 0)
-    before = jnp.where(
-        g_star > 0,
-        _gather_rows_small(grank, jnp.maximum(g_star - 1, 0)),
-        0,
-    )
     k = n_sym - before  # 1-based rank within the group, in [1, 4]
     sg = (group_start_mask(g_star)[:, None] >> iota8) & 1
     csg = jnp.cumsum(sg, axis=1)
@@ -519,16 +602,19 @@ def decode_blocks(words, tables, n_sym, n_cap, NP: int, OUTW: int, NS: int,
     bbits = (gbv[:, None] >> iota8) & 1
     jfb = jnp.argmax(bbits, axis=1).astype(jnp.int32)
     fb = gfb * 8 + jfb
-    before_fb = jnp.where(
-        gfb > 0, _gather_rows_small(grank, jnp.maximum(gfb - 1, 0)), 0
-    )
+    cfb = gfb // 4
+    before_cell = jnp.where(
+        cfb > 0, _gather_rows_small(gr32, jnp.maximum(cfb - 1, 0)), 0)
+    cnts_fb = cell_counts(cfb)
+    before_fb = before_cell + jnp.sum(
+        jnp.where(iota4 < (gfb % 4)[:, None], cnts_fb, 0), axis=1)
     sgf = (group_start_mask(gfb)[:, None] >> iota8) & 1
     rank_fb = before_fb + jnp.sum(
         jnp.where(iota8 <= jfb[:, None], sgf, 0), axis=1
     )
     corrupt = anybad & (rank_fb <= n_sym)
-    # aux byte of a dead position = the fail offset within the codeword.
-    fail_off = ((composite_at(fb) >> 8) & 63).astype(jnp.int32)
+    # aux field of a dead position = the fail offset within the codeword.
+    fail_off = ((composite_at(fb) >> 6) & 255).astype(jnp.int32)
     bad_bit = fb + fail_off
     return out, end_bit, corrupt, bad_bit, emit_ovf
 
@@ -544,12 +630,12 @@ def decode_blocks_many(arrays, shapes):
     so peak HBM stays at one plan's working set plus inputs/outputs.
 
     arrays: tuple of (words, tables, n_sym, n_cap) quadruples; shapes:
-    matching tuple of static (NP, OUTW, NS, ECW).  Returns the per-plan
-    decode_blocks results.
+    matching tuple of static (NP, OUTW, NS, ECW, NARROW).  Returns the
+    per-plan decode_blocks results.
     """
     return tuple(
-        decode_blocks(w, t, n, nc, NP, OUTW, NS, ECW)
-        for (w, t, n, nc), (NP, OUTW, NS, ECW) in zip(arrays, shapes)
+        decode_blocks(w, t, n, nc, *shp)
+        for (w, t, n, nc), shp in zip(arrays, shapes)
     )
 
 
@@ -562,37 +648,44 @@ def decode_blocks_prefix_many(arrays, shapes, upto: int):
     acc = jnp.uint32(0)
     for (w, t, n, nc), shp in zip(arrays, shapes):
         NP, OUTW, NS = shp[:3]
+        NARROW = shp[4] if len(shp) > 4 else False
         acc = acc + decode_blocks_prefix(
-            w, t, n, nc, NP, OUTW, NS, upto).astype(jnp.uint32)
+            w, t, n, nc, NP, OUTW, NS, upto, NARROW).astype(jnp.uint32)
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def decode_blocks_prefix(words, tables, n_sym, n_cap, NP: int, OUTW: int,
-                         NS: int, upto: int):
+                         NS: int, upto: int, NARROW: bool = False):
     """Profiling ablation: the decode pipeline truncated after stage ``upto``
     (1=resolve, 2=+chain/emit-groups, 3=+emission tree, 4=full incl.
     bookkeeping), reduced to a checksum.  BENCH_PHASES=1 drives this."""
     u32 = jnp.uint32
     B = words.shape[0]
-    meta = jax.lax.optimization_barrier(resolve_blocks(words, tables, NS))
+    meta = jax.lax.optimization_barrier(
+        resolve_blocks(words, tables, NS, NARROW))
     if upto == 1:
         return jnp.sum(meta)
     e2 = meta.reshape(B, 16, NP // 32)
     meta_t = jnp.transpose(e2, (2, 1, 0)).reshape(NP // 2, B)
-    start_w, gw_t, gr_t = chain_emit(meta_t)
+    start_w, gw_t, gc4_t, gr32_t = chain_emit(meta_t)
     if upto == 2:
-        return jnp.sum(start_w) + jnp.sum(gw_t) + jnp.sum(gr_t)
-    grank = gr_t.T.astype(jnp.int32)
-    gc = grank - jnp.pad(grank[:, :-1], ((0, 0), (1, 0)))
-    giota = jax.lax.broadcasted_iota(jnp.int32, gc.shape, 1)
-    live = giota < n_cap.astype(jnp.int32)[:, None]
-    gc = jnp.where(live, gc, 0)
-    gw = jnp.where(live, gw_t.T, 0) << ((u32(32) - (gc.astype(u32) << 3)) & 31)
-    out, _ovf = _emit_groups(gw, gc, OUTW)
+        return (jnp.sum(start_w) + jnp.sum(gw_t) + jnp.sum(gc4_t)
+                + jnp.sum(gr32_t))
+    gc4n = gc4_t.T
+    NG4 = gc4n.shape[1]
+    ci = jax.lax.broadcasted_iota(jnp.int32, gc4n.shape, 1)
+    ncap = n_cap.astype(jnp.int32)
+    rem = (ncap[:, None] % 4).astype(u32)
+    keep = jnp.where(
+        ci < ncap[:, None] // 4, u32(0xFFFFFFFF),
+        jnp.where(ci == ncap[:, None] // 4, (u32(1) << (8 * rem)) - 1,
+                  u32(0)))
+    out, _ovf = _emit_from_chain(gw_t, gc4n & keep, OUTW)
     if upto == 3:
         return jnp.sum(out.astype(u32))
-    res = decode_blocks(words, tables, n_sym, n_cap, NP, OUTW, NS)
+    res = decode_blocks(words, tables, n_sym, n_cap, NP, OUTW, NS, None,
+                        NARROW)
     out, end_bit, corrupt, bad_bit, _eovf = res
     return (jnp.sum(out.astype(u32)) + jnp.sum(end_bit.astype(u32))
             + jnp.sum(corrupt.astype(u32)) + jnp.sum(bad_bit.astype(u32)))

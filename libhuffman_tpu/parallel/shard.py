@@ -75,7 +75,8 @@ def encode_sharded(batch: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     return tuple(np.asarray(r) for r in res)
 
 
-def _decode_shard_mapped(mesh: Mesh, NP: int, OUTW: int, NS: int, ECW):
+def _decode_shard_mapped(mesh: Mesh, NP: int, OUTW: int, NS: int, ECW,
+                         NARROW: bool = False):
     """shard_map-wrapped decode_blocks over the block axis — blocks are
     fully independent, so there are no collectives at all."""
     spec3 = P("blocks", None, None)
@@ -83,7 +84,7 @@ def _decode_shard_mapped(mesh: Mesh, NP: int, OUTW: int, NS: int, ECW):
 
     def per_shard(w, t, n, nc):
         return ddec.decode_blocks.__wrapped__(w, t, n, nc, NP, OUTW, NS,
-                                              ECW)
+                                              ECW, NARROW)
 
     return jax.shard_map(
         per_shard, mesh=mesh,
@@ -111,8 +112,8 @@ def decode_blocks_sharded(words, tables, n_sym, n_cap, NP: int, OUTW: int,
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _decode_plans_sharded_step(arrays, shapes, mesh):
     return tuple(
-        _decode_shard_mapped(mesh, NP, OUTW, NS, ECW)(w, t, n, nc)
-        for (w, t, n, nc), (NP, OUTW, NS, ECW) in zip(arrays, shapes)
+        _decode_shard_mapped(mesh, *shp)(w, t, n, nc)
+        for (w, t, n, nc), shp in zip(arrays, shapes)
     )
 
 
@@ -132,7 +133,7 @@ def decode_plans_sharded(plans, mesh: Mesh):
          jax.device_put(jnp.asarray(p.caps), dvspec))
         for p in plans
     )
-    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw) for p in plans)
+    shapes = tuple((p.NP, p.OUTW, p.ns, p.ecw, p.narrow) for p in plans)
     return _decode_plans_sharded_step(arrays, shapes, mesh)
 
 

@@ -291,11 +291,24 @@ static const int32_t TAB_ROWS = 13;   // packed: 4 (LUT10) + 4 (stage 1)
                                       // + 2 (tail 1: 64st) + 3 (tails 2-4)
 static const int32_t LOGI_ROWS = 26;  // logical: 8 + 8 + 4 + 3*2
 
+// Terminal entries are stored PRE-TRANSLATED in the chain composite
+// layout DONE(15) | aux(13:6) | len(5:0) — len == 0 marks a dead/corrupt
+// position whose aux byte is the fail offset, else aux is the decoded
+// symbol.  The resolve kernel stores raw pairs with no per-position
+// translate step (round-5: ~6 VPU ops/position saved); non-terminal
+// entries keep holding next-stage state indices in the low bits.
+static inline int32_t term_entry(int32_t bad, int32_t lnfail, int32_t sym)
+{
+    const int32_t DONE = 1 << 15;
+    return bad ? (DONE | (lnfail << 6)) : (DONE | (sym << 6) | lnfail);
+}
+
 static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                                            int32_t* tables)  // [LOGI_ROWS*128]
 {
-    const int32_t DONE = 1 << 15, BAD = 1 << 14;
-    for (int32_t i = 0; i < LOGI_ROWS * 128; ++i) tables[i] = DONE | BAD;
+    const int32_t DONE = 1 << 15;
+    // Unreachable slots decode as dead positions (len 0, fail offset 0).
+    for (int32_t i = 0; i < LOGI_ROWS * 128; ++i) tables[i] = DONE;
 
     int32_t states[128];  // internal nodes at the current cut
     int32_t n_states = 0;
@@ -314,7 +327,7 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
         int32_t term, bad, lnfail, sym, end;
         walk_entry(nodes, nt, 0, 0, v, 10, &term, &bad, &lnfail, &sym, &end);
         if (term) {
-            tables[v] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+            tables[v] = term_entry(bad, lnfail, sym);
         } else {
             int32_t sid = -1;
             for (int32_t s = 0; s < n_states; ++s)
@@ -338,7 +351,7 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                        &term, &bad, &lnfail, &sym, &end);
             int32_t idx = 1024 + ((s << 3) | (int32_t)v);
             if (term) {
-                tables[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+                tables[idx] = term_entry(bad, lnfail, sym);
             } else {
                 int32_t sid = -1;
                 for (int32_t t = 0; t < n_next; ++t)
@@ -373,7 +386,7 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                            &term, &bad, &lnfail, &sym, &end);
                 int32_t idx = (s << 3) | (int32_t)v;
                 if (term) {
-                    tab[idx] = DONE | (bad ? BAD : 0) | (lnfail << 8) | sym;
+                    tab[idx] = term_entry(bad, lnfail, sym);
                 } else {
                     int32_t sid = -1;
                     for (int32_t t = 0; t < n_next; ++t)

@@ -177,14 +177,15 @@ def test_chain_emit_matches_numpy_reference(maxl):
     lens = rng.integers(2, maxl + 1, (B, NP)).astype(np.uint8)
     lens[0, 5] = 0  # a dead position: the chain must stop if it lands here
     syms = rng.integers(0, 256, (B, NP)).astype(np.uint8)
-    # Pair-plane composite: aux(8) << 8 | len(6), two positions per u32.
-    m16 = (syms.astype(np.uint32) << 8) | lens.astype(np.uint32)
+    # Pair-plane entries: aux(13:6) | len(5:0), two positions per u32.
+    m16 = (syms.astype(np.uint32) << 6) | lens.astype(np.uint32)
     meta2 = m16[:, 0::2] | (m16[:, 1::2] << 16)  # (B, NP // 2)
 
-    start_w, gw, gr = ddec.chain_emit(jnp.asarray(meta2.T))
+    start_w, gw, gc4, gr32 = ddec.chain_emit(jnp.asarray(meta2.T))
     start_w = np.asarray(start_w)
-    gw = np.asarray(gw).T  # (B, NG) right-aligned insertion order
-    gr = np.asarray(gr).T  # (B, NG) running totals
+    gw = np.asarray(gw).T       # (B, NG) left-aligned group strings
+    gc4 = np.asarray(gc4).T     # (B, NG/4) packed per-group counts
+    gr32 = np.asarray(gr32).T   # (B, NG/4) totals through group 4c+3
     got = np.zeros((B, NP), bool)
     for wi in range(NP // 32):
         for t in range(32):
@@ -203,11 +204,15 @@ def test_chain_emit_matches_numpy_reference(maxl):
         for g in range(NP // 8):
             members = [p for p in range(8 * g, 8 * g + 8) if expect[p]]
             running += len(members)
-            assert gr[b, g] == running, (b, g)
+            cnt = (int(gc4[b, g // 4]) >> (8 * (g % 4))) & 0xFF
+            assert cnt == len(members), (b, g)
+            if g % 4 == 3:
+                assert gr32[b, g // 4] == running, (b, g)
             w = 0
             for p in members:
                 w = ((w << 8) | int(syms[b, p])) & 0xFFFFFFFF
-            assert gw[b, g] == w, (b, g)
+            w = (w << ((32 - 8 * len(members)) & 31)) & 0xFFFFFFFF
+            assert gw[b, g] == w, (b, g)  # kernel left-aligns at close
 
 
 def test_resolve_blocks_matches_table_walk():
@@ -273,10 +278,9 @@ def test_resolve_blocks_matches_table_walk():
         if s:
             w32 |= int(payload[j + 1]) >> (32 - s)
         e = table_resolve(w32)
-        # The kernel stores the translated composite aux(8) << 8 | len(6)
-        # for positions (2*s2, 2*s2 + 1) in one u32 cell.
-        lnf = (e >> 8) & 63
-        expect = (lnf << 8) if e & (1 << 14) else (((e & 255) << 8) | lnf)
+        # Terminal entries are pre-translated by the native builder
+        # (DONE | aux(13:6) | len(5:0)); the kernel stores raw pairs for
+        # positions (2*s2, 2*s2 + 1) in one u32 cell.
         m = (int(meta[0, s // 2, j // 128, j % 128]) >> (16 * (s & 1))) \
             & 0xFFFF
-        assert m == expect, p
+        assert m == e, p
