@@ -312,7 +312,7 @@ def main():
     # + text + zero-heavy records) — different tree-shape regime than the
     # enwik-like headline corpus (VERDICT r3 item 7).
     corpora_rows = {}
-    mix_mb = int(os.environ.get("BENCH_MIX_MB", "32"))
+    mix_mb = int(os.environ.get("BENCH_MIX_MB", "96"))
     if mix_mb:
         mdata = mixed_corpus(mix_mb << 20)
         menc = enc_mod.encode(mdata, bs)

@@ -247,11 +247,16 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
                  ) -> list[_Plan]:
     """Shape-homogeneous device batches from eligible candidates.
 
-    Sorted by (stage count, narrowness, cap): batching same-NS blocks
-    together keeps shallow-tree blocks off the deeper (more expensive)
-    resolve cascades — a plan's NS is the max over its batch, and its
-    narrow flag the AND (narrow stage 1 needs every block narrow)."""
-    eligible = sorted(eligible, key=lambda e: (e[3], not e[4], e[2]))
+    Sorted by (P bucket, stage count, narrowness, cap): the chain kernel
+    pads every plan to 128 block-lanes, so small same-P batches MUST
+    merge across NS buckets even though a plan's NS is the max over its
+    batch (mixed-density corpora produced seven 16-block plans whose
+    chain lanes ran 87% dead — that tripled the silesia chain wall,
+    round 5); within a bucket, same-NS and narrow blocks still group
+    first so pure runs keep the cheap cascades."""
+    eligible = sorted(
+        eligible,
+        key=lambda e: (_p_bucket(e[2] + 8), e[3], not e[4], e[2]))
     plans = []
     i = 0
     while i < len(eligible):
