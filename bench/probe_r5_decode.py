@@ -200,8 +200,11 @@ def chain_pair(salt, meta2):
 
 
 def chain_current(salt, meta_t):
-    start, gw, gr = ddec.chain_emit(meta_t ^ salt, True)
-    return jnp.sum(start) + jnp.sum(gw[::64]) + jnp.sum(gr[::64])
+    # NOTE: post-round-5 chain_emit consumes the pair plane and returns
+    # (start, gw, gc4, gr32); this probe predates that and is kept as the
+    # measurement record that drove the change.
+    outs = ddec.chain_emit(meta_t ^ salt)
+    return sum(jnp.sum(o[::64]) for o in outs)
 
 
 def main():

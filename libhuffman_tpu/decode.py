@@ -257,35 +257,52 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
     eligible = sorted(
         eligible,
         key=lambda e: (_p_bucket(e[2] + 8), e[3], not e[4], e[2]))
-    plans = []
+    batches = []
     i = 0
     while i < len(eligible):
-        # Greedy batch under the position budget.  P >= 512 keeps the
-        # resolve kernel's word rows whole.  A batch takes only CONSECUTIVE
-        # candidates of the same P bucket: every staged payload must fit
-        # its plan's P words — a cap > P would silently truncate the
-        # payload and let the chain run into zero padding (accepted as a
-        # bogus "complete" decode).
+        # A batch takes only candidates of the same P bucket: every staged
+        # payload must fit its plan's P words — a cap > P would silently
+        # truncate the payload and let the chain run into zero padding
+        # (accepted as a bogus "complete" decode).  P >= 512 keeps the
+        # resolve kernel's word rows whole.
         P = _p_bucket(eligible[i][2] + 8)
         NP = 8 * P
         Bmax = max(1, _POSITION_BUDGET // NP)
         j = i
         while j < len(eligible) and _p_bucket(eligible[j][2] + 8) == P:
             j += 1
-        run = j - i
-        # Near-equal chunks instead of greedy Bmax-fulls: a 1024-block run
-        # at Bmax=682 would otherwise become 682+342 -> lane-padded
-        # 768+384 (12% dead lanes); two 512s pad nothing.
+        # Within the P bucket: whole 128-lane tiles of each pure
+        # (NS, narrow) sub-run become their own near-equal chunks (pure
+        # plans keep the cheap cascades — 98% of enwik blocks are narrow
+        # and must not share a plan with the 2% that are not), and the
+        # sub-tile leftovers of every sub-run pool into ONE mixed residue
+        # chunk (NS = max, narrow = AND) so no plan runs mostly-dead
+        # chain lanes (the chain pads every plan to 128 lanes).
         Bcap = max(128, (Bmax // 128) * 128) if Bmax > 128 else Bmax
-        nchunks = -(-run // Bcap)
-        csize = -(-run // nchunks)
-        if csize > 128:
-            csize = min(-(-csize // 128) * 128, Bcap)
-        # Never reach past the same-P run: later candidates have caps
-        # beyond this plan's word budget.
-        csize = min(csize, run)
-        batch = eligible[i : i + csize]
-        i += len(batch)
+        residue = []
+        k = i
+        while k < j:
+            m = k
+            key = (eligible[k][3], eligible[k][4])
+            while m < j and (eligible[m][3], eligible[m][4]) == key:
+                m += 1
+            seg = eligible[k:m]
+            pure = (len(seg) // 128) * 128
+            if pure:
+                nchunks = -(-pure // Bcap)
+                csz0 = -(-pure // nchunks)  # near-equal ceil
+                csize = min(-(-csz0 // 128) * 128, Bcap)
+                for s0 in range(0, pure, csize):
+                    batches.append((P, seg[s0 : min(s0 + csize, pure)]))
+            residue.extend(seg[pure:])
+            k = m
+        for s0 in range(0, len(residue), Bcap):
+            batches.append((P, residue[s0 : s0 + Bcap]))
+        i = j
+
+    plans = []
+    for P, batch in batches:
+        NP = 8 * P
         assert all(cap <= P for (_c, _t, cap, _n, _nw) in batch)
         B = _b_bucket(len(batch))
         if lane_mult > 1:
