@@ -146,8 +146,13 @@ def _resolve_kernel_body(NS: int, RW: int, NARROW: bool):
                 # (wn >> 1) >> (31 - s) instead of wn >> (32 - s): the
                 # s == 0 case would shift by 32 (undefined).
                 win = (w << su) | ((wn >> 1) >> (jnp.uint32(31) - su))
-                idx10 = (win >> jnp.uint32(22)).astype(jnp.int32)
-                e = _lookup1024p(lut10, idx10)
+                # Unary-root fold: a leading 1 bit can never start a code
+                # (reference src/tree.c:410-413; the native builder routes
+                # crafted non-unary-root trees to the host walk), so only
+                # the 512-entry lower LUT10 half is ever live.
+                idx10 = ((win >> jnp.uint32(22)) & 511).astype(jnp.int32)
+                e = _lookup512p(lut10, idx10)
+                e = jnp.where(win >> 31 != 0, jnp.uint32(_DONE), e)
                 if NS >= 1 and NARROW:
                     # Narrow stage 1: <= 32 live states at cut 10 (98% of
                     # enwik-like blocks, measured round 5) occupy only the
@@ -187,7 +192,15 @@ def _resolve_kernel_body(NS: int, RW: int, NARROW: bool):
                 meta_ref[0, s2, :, :] = lo | (hi << 16)
                 return 0
 
-            jax.lax.fori_loop(0, 16, phase_pair, 0)
+            if NS >= 2 and not NARROW:
+                # Unrolled phases schedule ~16% faster for the wide deep
+                # cascades (measured round 5: Mosaic pipelines across
+                # independent phase pairs only when they share one trace);
+                # narrow/shallow cascades run marginally faster rolled.
+                for s2 in range(16):
+                    phase_pair(jnp.int32(s2), 0)
+            else:
+                jax.lax.fori_loop(0, 16, phase_pair, 0)
             return 0
 
         tile(pl.program_id(1), 0)

@@ -307,6 +307,13 @@ static int32_t build_decode_tables_logical(const uint32_t* nodes, int32_t nt,
                                            int32_t* tables)  // [LOGI_ROWS*128]
 {
     const int32_t DONE = 1 << 15;
+    // Unary-root requirement: every wire codeword starts with a 0 bit
+    // (reference src/tree.c:410-413 always wraps the root), so the upper
+    // half of LUT10 is the constant dead entry and the kernel folds it to
+    // a compare (half the LUT10 permutes).  Crafted streams can serialize
+    // a tree with a real right child under the root; those take the
+    // host-exact walk (bit-exact either way).
+    if (((nodes[0] >> 11) & 0x7FF) != (uint32_t)(nt - 1)) return -1;
     // Unreachable slots decode as dead positions (len 0, fail offset 0).
     for (int32_t i = 0; i < LOGI_ROWS * 128; ++i) tables[i] = DONE;
 
