@@ -163,6 +163,66 @@ def test_tightened_cap_short_read_retries_on_host(monkeypatch):
         assert fallbacks, "short caps must exercise the host retry path"
 
 
+def test_non_unary_root_tree_matches_reference():
+    """Crafted streams may serialize a tree whose root has a REAL right
+    child (our encoder never emits one — src/tree.c:410-413 always wraps);
+    the native table builder routes those to the host-exact walk, which
+    must decode byte-identically to the reference."""
+    from oracle import ref_decompress
+
+    import struct
+
+    tree = [256, ord("a"), -1, -1, ord("b"), -1, -1]  # a="0", b="1"
+    payload = bytes([0b01100000])  # a b b a + pad
+    stream = (struct.pack("<Q", 4) + struct.pack("<h", len(tree))
+              + b"".join(struct.pack("<h", v) for v in tree) + payload)
+    assert ref_decompress(stream) == b"abba", "oracle premise"
+    assert dec_mod.decode(stream) == b"abba"
+    # And the builder really does reject it from the device path.
+    from libhuffman_tpu import native
+
+    if native.available():
+        buf = np.array(tree, np.int16)
+        _t, ns, _mi, _ma = native.build_decode_tables(
+            buf, np.array([0], np.int64), np.array([len(tree)], np.int32))
+        assert int(ns[0]) < 0
+
+
+def test_resolve_narrow_matches_wide():
+    """For a narrow-eligible batch the NARROW=True cascade must produce
+    the identical meta plane as the wide one (same tables, fewer
+    permutes)."""
+    import jax.numpy as jnp
+    from libhuffman_tpu import decode as dec_mod2
+    from libhuffman_tpu import native
+    from libhuffman_tpu.ops import decode_v3 as ddec
+
+    if not native.available():
+        pytest.skip("needs the native table builder")
+    # Fibonacci-ish frequencies: depth > 10 (multi-stage) but few states.
+    vals = []
+    a, b = 1, 1
+    for s2 in range(18):
+        vals += [s2] * a
+        a, b = b, a + b
+    blk = hostref.encode_block(np.array(vals, np.uint8))
+    import libhuffman_tpu.format as fmt
+
+    hdr = fmt.parse_block_header(memoryview(blk), 0)
+    tree = np.asarray(hdr.tree, np.int16)
+    tables, ns, _mi, _ma = native.build_decode_tables(
+        tree, np.array([0], np.int64), np.array([len(tree)], np.int32))
+    assert int(ns[0]) >= 1
+    assert bool(dec_mod2._narrow_flags(tables)[0]), "construction premise"
+    rng = np.random.default_rng(3)
+    words = jnp.asarray(rng.integers(0, 1 << 32, (1, 5, 128),
+                                     dtype=np.uint64).astype(np.uint32))
+    tabs = jnp.asarray(tables)
+    m_wide = np.asarray(ddec.resolve_blocks(words, tabs, int(ns[0]), False))
+    m_narrow = np.asarray(ddec.resolve_blocks(words, tabs, int(ns[0]), True))
+    assert np.array_equal(m_wide, m_narrow)
+
+
 # --- decode_v3 kernel internals -------------------------------------------
 
 @pytest.mark.parametrize("maxl", [10, 25])
