@@ -322,33 +322,37 @@ def symbol_layout(blocks: jax.Array, codes: jax.Array, lens: jax.Array,
 def _layout_kernel_body(RN: int):
     import jax.experimental.pallas as pl
 
+    # 32 rows per step: the 8-row version ran ~8k fori iterations per
+    # 128-block batch and was iteration-overhead-bound (round 5).
+    TR = 32 if RN % 32 == 0 else 8
+
     def kernel(blocks_ref, codes_ref, lens_ref, nv_ref, C_ref, L_ref):
         nv = nv_ref[pl.program_id(0)]
         c_rows = [codes_ref[0, r:r + 1, :] for r in range(2)]
         l_rows = [lens_ref[0, r:r + 1, :] for r in range(2)]
 
         def tile(t, _):
-            b = blocks_ref[0, pl.ds(t * 8, 8), :].astype(jnp.int32)
+            b = blocks_ref[0, pl.ds(t * TR, TR), :].astype(jnp.int32)
             lo = b & 127
             hi = b >> 7
-            c = jnp.zeros((8, 128), jnp.uint32)
-            ln = jnp.zeros((8, 128), jnp.int32)
+            c = jnp.zeros((TR, 128), jnp.uint32)
+            ln = jnp.zeros((TR, 128), jnp.int32)
             for r in range(2):
                 cr = jnp.take_along_axis(
-                    jnp.broadcast_to(c_rows[r], (8, 128)), lo, axis=1)
+                    jnp.broadcast_to(c_rows[r], (TR, 128)), lo, axis=1)
                 lr = jnp.take_along_axis(
-                    jnp.broadcast_to(l_rows[r], (8, 128)), lo, axis=1)
+                    jnp.broadcast_to(l_rows[r], (TR, 128)), lo, axis=1)
                 c = jnp.where(hi == r, cr, c)
                 ln = jnp.where(hi == r, lr, ln)
-            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + t * 8
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TR, 128), 0) + t * TR
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TR, 128), 1)
             pos = row * 128 + lane
             ln = jnp.where(pos < nv, ln, 0)
-            C_ref[0, pl.ds(t * 8, 8), :] = c
-            L_ref[0, pl.ds(t * 8, 8), :] = ln
+            C_ref[0, pl.ds(t * TR, TR), :] = c
+            L_ref[0, pl.ds(t * TR, TR), :] = ln
             return 0
 
-        jax.lax.fori_loop(0, RN // 8, tile, 0)
+        jax.lax.fori_loop(0, RN // TR, tile, 0)
 
     return kernel
 
