@@ -37,17 +37,18 @@ from .ops import hostref
 from .ops import decode_v3 as ddec
 from .utils.trace import annotate
 
-# Device batch sizing: total bit positions per plan (~32 MiB payload).
-# Larger plans give the chain kernel more block-lanes (B=512 at NP=2^19 ->
-# 4 sublanes of 128 lanes per vector op); HBM peak per plan ~2.5 GB of
-# intermediates, freed before the next plan runs inside the fused dispatch.
+# Device batch sizing: total bit positions per plan (~32 MiB payload);
+# HBM peak per plan ~1.5 GB of intermediates, freed before the next plan
+# runs inside the fused dispatch.  (B=1024 plans measured no faster: the
+# chain kernel is load-bound, not lane-bound — bench/probe_r5_decode.py.)
 _POSITION_BUDGET = 1 << 28
 
-# Distinct device-kernel shapes dispatched so far: (B, NP, OUTW, NS).
-# The bucket scheme bounds the product — B and OUTW are pow2-bucketed, NP
-# is pow2 in [4096, 2^21], NS one of six values — and the bench reports
-# len(compile_keys()) so jit-cache pressure is measured, not guessed.
-_COMPILE_KEYS: set[tuple[int, int, int, int]] = set()
+# Distinct device-kernel shapes dispatched so far:
+# (B, NP, OUTW, NS, ECW, NARROW).  The bucket scheme bounds the product —
+# B is lane-granular, OUTW pow2, NP 8 steps/octave in [4096, 2^21·8], NS
+# one of six values — and the bench reports len(compile_keys()) so
+# jit-cache pressure is measured, not guessed.
+_COMPILE_KEYS: set[tuple] = set()
 
 
 def compile_keys() -> frozenset:

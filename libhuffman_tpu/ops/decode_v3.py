@@ -34,11 +34,11 @@ lookups/s for 128-wide tables (bench/probe_r3e.py):
             the loop keeps a single u32 pending-start bitmask per lane
             and computes the schedule mask in-kernel from the 6-bit
             length ((1 << len) >> 1, zero for dead positions): every 8
-            positions store their started symbols (right-aligned) and
-            the running started total, so group counts, bad masks, and
-            left-alignment are parallel XLA work and the bookkeeping
-            needs no cumsum.  One layout serves every NS bucket (the
-            round-4 split into packed/non-packed planes is gone).
+            positions store their started symbols (left-aligned at group
+            close), every stripe stores packed per-group counts and a
+            running total, so bad masks and the bookkeeping need no
+            cumsum or align pass.  One layout serves every NS bucket
+            (the round-4 split into packed/non-packed planes is gone).
 
 Final emission = pack_tree merge tree over the group words (capacity
 clamped to the output budget); bookkeeping (end bit, corrupt precedence,
