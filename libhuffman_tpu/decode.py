@@ -63,8 +63,13 @@ def _bucket(n: int, lo: int) -> int:
     return b
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 14)
 def _p_bucket(n: int) -> int:
-    """Payload-byte budget bucket for a device plan.
+    """Payload-byte budget bucket for a device plan (memoized: the plan
+    sorter calls it twice per candidate at stream scale).
 
     Pow2 buckets waste ~24% of every kernel pass on dead positions for the
     typical 0.76-ratio corpus (a 50 KB payload padded to 64 KB).  Eight
@@ -302,6 +307,7 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         i = j
 
     plans = []
+    staged = []
     for P, batch in batches:
         NP = 8 * P
         assert all(cap <= P for (_c, _t, cap, _n, _nw) in batch)
@@ -338,10 +344,12 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
         if ecw > 48:
             ecw = None  # exact capacities
         if native.available():
-            # One native pass: slice, zero-pad, and byteswap per block
-            # (native stage_plan) straight into the kernel's word layout.
-            words = native.stage_plan(data, offs, caps, W + 128).reshape(
-                B, (W + 128) // 128, 128)
+            # One native pass per plan: slice, zero-pad, and byteswap per
+            # block (native stage_plan) straight into the kernel's word
+            # layout — deferred and run threaded across plans below (the
+            # ctypes call releases the GIL).
+            staged.append((len(plans), offs, caps, W))
+            words = None
         else:
             wbytes = np.zeros((B, 4 * (W + 128)), np.uint8)
             for b, (c, tab, cap, cns, _nw) in enumerate(batch):
@@ -355,6 +363,18 @@ def _build_plans(data: np.ndarray, eligible, lane_mult: int = 1
                            caps=caps.astype(np.int32), NP=NP, OUTW=OUTW,
                            ns=ns, ecw=ecw, narrow=narrow and ns >= 1,
                            batch=batch))
+    if staged:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage(args):
+            idx, offs, caps, W = args
+            B = len(offs)
+            plans[idx].words = native.stage_plan(
+                data, offs, caps, W + 128).reshape(
+                    B, (W + 128) // 128, 128)
+
+        with ThreadPoolExecutor(native._POOL_WORKERS) as ex:
+            list(ex.map(_stage, staged))
     return plans
 
 

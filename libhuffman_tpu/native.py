@@ -15,8 +15,14 @@ import os
 import pathlib
 import subprocess
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+# ctypes calls with declared argtypes release the GIL, so stream-scale
+# native passes (header scan, table build, plan staging) parallelize
+# across host cores with plain threads.
+_POOL_WORKERS = min(8, os.cpu_count() or 1)
 
 _SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "huffman_native.cpp"
 NT = 1027
@@ -150,18 +156,31 @@ def build_decode_tables(bufs: np.ndarray, offs: np.ndarray, lens: np.ndarray):
     nstages = np.empty(B, np.int32)
     mindep = np.empty(B, np.int32)
     maxdep = np.empty(B, np.int32)
-    _lib().build_decode_tables_batch(
-        np.ascontiguousarray(bufs, np.int16),
-        np.ascontiguousarray(offs, np.int64),
-        np.ascontiguousarray(lens, np.int32),
-        B, tables, nstages, mindep, maxdep,
-    )
+    bufs = np.ascontiguousarray(bufs, np.int16)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    nw = _POOL_WORKERS
+    if B < 256 or nw <= 1:
+        _lib().build_decode_tables_batch(
+            bufs, offs, lens, B, tables, nstages, mindep, maxdep)
+        return tables, nstages, mindep, maxdep
+
+    def chunk(i):
+        lo, hi = B * i // nw, B * (i + 1) // nw
+        if lo == hi:
+            return
+        # Per-chunk bases: the batch entry point indexes outputs from 0.
+        _lib().build_decode_tables_batch(
+            bufs, np.ascontiguousarray(offs[lo:hi]),
+            np.ascontiguousarray(lens[lo:hi]), hi - lo,
+            tables[lo:hi], nstages[lo:hi], mindep[lo:hi], maxdep[lo:hi])
+
+    with ThreadPoolExecutor(nw) as ex:
+        list(ex.map(chunk, range(nw)))
     return tables, nstages, mindep, maxdep
 
 
-def find_headers(data: np.ndarray) -> np.ndarray:
-    """Offsets of plausible block headers (native single-pass scan)."""
-    data = np.ascontiguousarray(data, np.uint8)
+def _find_headers_seg(data: np.ndarray) -> np.ndarray:
     cap = max(1024, len(data) // 4096)
     out = np.empty(cap, np.int64)
     k = int(_lib().find_headers(data, len(data), out, cap))
@@ -169,6 +188,28 @@ def find_headers(data: np.ndarray) -> np.ndarray:
         out = np.empty(k, np.int64)
         k = int(_lib().find_headers(data, len(data), out, k))
     return out[:k].copy()
+
+
+def find_headers(data: np.ndarray) -> np.ndarray:
+    """Offsets of plausible block headers (native scan, threaded at
+    stream scale: segments overlap by the 10-byte header window and each
+    segment keeps only offsets starting inside its half-open range)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    nw = _POOL_WORKERS
+    if n < (8 << 20) or nw <= 1:
+        return _find_headers_seg(data)
+    bounds = [n * i // nw for i in range(nw + 1)]
+
+    def seg(i):
+        lo, hi = bounds[i], min(bounds[i + 1] + 9, n)
+        offs = _find_headers_seg(data[lo:hi])
+        offs = offs[offs < bounds[i + 1] - lo] + lo
+        return offs
+
+    with ThreadPoolExecutor(nw) as ex:
+        parts = list(ex.map(seg, range(nw)))
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
 
 def stage_plan(data: np.ndarray, offs: np.ndarray, caps: np.ndarray,
