@@ -163,6 +163,28 @@ def test_tightened_cap_short_read_retries_on_host(monkeypatch):
         assert fallbacks, "short caps must exercise the host retry path"
 
 
+def test_threaded_header_scan_matches_reference_scanner():
+    """The segmented (threaded) native header scan only engages above
+    8 MB; its overlap/half-open-range splitting must reproduce the pure
+    python scanner exactly, including candidates straddling segment
+    boundaries."""
+    from libhuffman_tpu import native
+    from libhuffman_tpu.format import find_candidate_headers
+
+    if not native.available():
+        pytest.skip("needs the native library")
+    rng = np.random.default_rng(123)
+    # Dense candidate bait: periodic zero quads + plausible tree lengths.
+    buf = rng.integers(0, 256, 9 << 20, dtype=np.uint8)
+    buf[::97] = 0
+    buf[1::97] = 0
+    buf[2::97] = 0
+    buf[3::97] = 0
+    got = native.find_headers(buf)
+    ref = find_candidate_headers(buf)
+    assert np.array_equal(got, ref)
+
+
 def test_non_unary_root_tree_matches_reference():
     """Crafted streams may serialize a tree whose root has a REAL right
     child (our encoder never emits one — src/tree.c:410-413 always wraps);
