@@ -457,11 +457,13 @@ def encode_blocks(blocks: jax.Array, n_valid: jax.Array, W: int,
         C, L = jax.lax.optimization_barrier(
             symbol_layout(blocks, codes, lens, n_valid)
         )
-    if N % 1024 == 0 and W % 128 == 0:
+    if N % 1024 == 0 and W % 128 == 0 and N & (N - 1) == 0:
         # VMEM merge-tree kernel with capw-clamped intermediate capacity
         # (concat_kernel.concat_words_ovf): ~2.7x less canvas traffic than
         # the exact-capacity tree for typical code lengths; clamped-out
-        # blocks are flagged and re-encoded exactly on the host.
+        # blocks are flagged and re-encoded exactly on the host.  The
+        # merge tree needs a pow2 string count (non-pow2 multiples of
+        # 1024, e.g. blocksize 3072, take the chunked XLA packer).
         from . import concat_kernel
 
         ln = L.astype(jnp.uint32)
@@ -539,7 +541,8 @@ def encode_blocks_prefix(blocks: jax.Array, n_valid: jax.Array, W: int,
         )
     if upto == 4:
         return jnp.sum(C) + jnp.sum(L.astype(u32))
-    if blocks.shape[1] % 1024 == 0 and W % 128 == 0:
+    N5 = blocks.shape[1]
+    if N5 % 1024 == 0 and W % 128 == 0 and N5 & (N5 - 1) == 0:
         from . import concat_kernel
 
         ln = L.astype(jnp.uint32)

@@ -91,3 +91,18 @@ def test_overflow_flag_on_crafted_histogram():
     left, right, parent, pbit, root = dev.build_trees(jnp.asarray(shallow))
     codes, lens, overflow = dev.extract_codes(parent, pbit)
     assert not bool(np.asarray(overflow)[0])
+
+
+def test_non_pow2_1024_multiple_blocksizes():
+    """Blocksizes that are multiples of 1024 but NOT powers of two (3072,
+    5120) must route around the pow2-only merge-tree packer instead of
+    tripping its assert inside jit (round-5 regression fix)."""
+    from libhuffman_tpu import decode as dec_mod
+    from libhuffman_tpu import encode as enc_mod
+    from libhuffman_tpu.ops import hostref
+
+    data = (b"abcdefg hijklmnop " * 800)[:12 << 10]
+    for bs in (3072, 5120):
+        enc = enc_mod.encode(data, bs)
+        assert enc == hostref.encode(data, bs), bs
+        assert dec_mod.decode(enc) == data, bs
