@@ -124,7 +124,7 @@ GB = 8  # blocks per grid step: level op count is constant per step, so
 
 
 def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
-                        lens_packed: bool = False):
+                        lens_packed: bool = False, lscale: int = 8):
     def kernel(w_ref, l_ref, out_ref, ovf_ref):
         # Plane-major with a block axis: x (cap, GB, P/128, 128).
         x = w_ref[:].reshape(1, GB, N // 128, 128)
@@ -137,7 +137,7 @@ def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
             lens = jnp.concatenate(
                 [((lp >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
                   ).astype(jnp.int32) for j in range(4)],
-                axis=1) * 8                          # (GB, N/128, 128) bits
+                axis=1) * lscale                     # (GB, N/128, 128) bits
             # Dead strings (live-masked counts) may carry garbage content
             # (the decode chain's zero-padding groups): zero them here so
             # the caller needs no full-plane XLA mask pass.
@@ -317,17 +317,18 @@ def concat_words(level0: jax.Array, lens: jax.Array, OUTW: int) -> jax.Array:
     return words
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def concat_groups_ovf(level0: jax.Array, gcpacked: jax.Array, OUTW: int,
-                      capw: int | None = None):
-    """Decode-emission specialization of :func:`concat_words_ovf`.
+                      capw: int | None = None, lscale: int = 8):
+    """Packed-lens specialization of :func:`concat_words_ovf`.
 
-    level0:   (B, N) u32, ALREADY in bit-reversed string order (the chain
-              kernel's gw plane through one fused bitrev_t copy) and
-              already left-aligned (the chain kernel aligns at group
-              close); byte strings, bits past 8*count zero.
-    gcpacked: (B, N // 4) u32 — per-string symbol counts (<= 4), byte j of
-              cell c belonging to string c + j * N / 4.
+    level0:   (B, N) u32, ALREADY in bit-reversed string order and already
+              left-aligned; bits past each string's length zero.
+    gcpacked: (B, N // 4) u32 — per-string u8 length units, byte j of
+              cell c belonging to string c + j * N / 4; the string's bit
+              length is the byte value times ``lscale`` (8 for the decode
+              emission's symbol counts, 1 for the encode packer's raw bit
+              lengths <= 32).
     N a power of two >= 512; OUTW a multiple of 128.  Same return contract
     as concat_words_ovf.
     """
@@ -339,7 +340,7 @@ def concat_groups_ovf(level0: jax.Array, gcpacked: jax.Array, OUTW: int,
         level0 = jnp.pad(level0, ((0, Bp - B), (0, 0)))
         gcpacked = jnp.pad(gcpacked, ((0, Bp - B), (0, 0)))
     words, ovf = pl.pallas_call(
-        _concat_kernel_body(N, OUTW, capw, lens_packed=True),
+        _concat_kernel_body(N, OUTW, capw, lens_packed=True, lscale=lscale),
         grid=(Bp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
