@@ -19,8 +19,8 @@ per-lane gathers):
     transposes once to string-major; the final three levels run on a
     [string, block]-row canvas where every slice is tile-aligned.
 
-Eight blocks (GB) stack per grid step — the level op count is constant
-per step, so stacking divides per-instruction issue overhead.  Buffer
+Up to GB=16 blocks stack per grid step — the level op count is constant
+per step, so stacking divides per-instruction issue overhead (_gb_for).  Buffer
 size defaults to the exact N words per level (32-bit codes worst case);
 an optional ``capw`` clamp shrinks the intermediate capacities for
 typical code lengths, flagging (and host-re-encoding) the rare blocks
@@ -98,7 +98,7 @@ def _bit_shift(b2, r, axis: int):
     return (b2 >> ru) | ((prev << 1) << (jnp.uint32(31) - ru))
 
 
-def _cap_limit(P: int, N: int, capw: int | None) -> int:
+def _cap_limit(P: int, N: int, capw: int | None, eguard: int = 64) -> int:
     """Clamped per-string word capacity at the level with P strings.
 
     ``capw`` = words per 64 base strings (the encode packer's proven
@@ -107,55 +107,70 @@ def _cap_limit(P: int, N: int, capw: int | None) -> int:
     the clamp is dropped and the block flagged (overflow output) — the
     driver re-encodes flagged blocks exactly on the host.
 
-    Levels aggregating fewer than 64 base strings stay exact: variance
-    dominates small sums (four 9-bit codes would overflow a mean-based
-    clamp), and those levels' canvases are cheap anyway — the clamp's
-    savings live at the big-cap levels."""
+    Levels aggregating fewer than ``eguard`` base strings stay exact:
+    variance dominates small sums (four 9-bit codes would overflow a
+    mean-based clamp).  Sub-``eguard`` levels down to 16 strings clamp to
+    the mean-based cap plus a half-capacity variance floor — the exact
+    early levels are ~2.7x the clamped canvas per level, so tightening
+    them is where the remaining packer traffic lives (probed round 5)."""
     full = N // P
-    if capw is None or full < 64:
+    if capw is None or full < eguard:
         return full
+    if full < 64:
+        return min(full, max(full // 2, (capw * full) // 64 + 1))
     return min(full, max(1, (capw * full) // 64))
 
 
-GB = 8  # blocks per grid step: level op count is constant per step, so
+GB = 16  # blocks per grid step: level op count is constant per step, so
 # stacking blocks divides instruction-issue overhead (measured round 4:
 # ~60% of the single-block kernel's cycles were per-op overhead at these
-# small shapes).  8 sublane-rows also keep every canvas slice tile-aligned.
+# small shapes).  The round-5 sweep at the encode packer's shape (N=64Ki,
+# capw=24) measured 8 -> 16 another 1.6x (0.88 vs 1.39 ms/128 blocks) and
+# 32 a regression (1.88 ms — VMEM canvas pressure); small batches drop to
+# 8 so grid-step padding stays under ~33% (see _gb_for).
+
+
+def _gb_for(B: int) -> int:
+    """Grid stacking for a B-block call: 16 when the batch amortizes it,
+    8 below 12 blocks (padding to 16 would waste >= 2x on tiny decode
+    plans; 8 keeps every canvas slice tile-aligned either way)."""
+    return GB if B >= 12 else 8
 
 
 def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
-                        lens_packed: bool = False, lscale: int = 8):
+                        lens_packed: bool = False, lscale: int = 8,
+                        eguard: int = 64, gb: int = GB):
     def kernel(w_ref, l_ref, out_ref, ovf_ref):
-        # Plane-major with a block axis: x (cap, GB, P/128, 128).
-        x = w_ref[:].reshape(1, GB, N // 128, 128)
+        # Plane-major with a block axis: x (cap, gb, P/128, 128).
+        x = w_ref[:].reshape(1, gb, N // 128, 128)
         if lens_packed:
             # Byte j of cell c = symbol count (<= 4) of string c + j*N/4;
             # the stride-N/4 packing makes the unpack a plain byte
             # extract + row concat (no shuffle), and the HBM input is 4x
             # smaller than i32 bit lengths.
-            lp = l_ref[:]                            # (GB, N/512, 128) u32
+            lp = l_ref[:]                            # (gb, N/512, 128) u32
             lens = jnp.concatenate(
                 [((lp >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
                   ).astype(jnp.int32) for j in range(4)],
-                axis=1) * lscale                     # (GB, N/128, 128) bits
+                axis=1) * lscale                     # (gb, N/128, 128) bits
             # Dead strings (live-masked counts) may carry garbage content
             # (the decode chain's zero-padding groups): zero them here so
             # the caller needs no full-plane XLA mask pass.
             x = jnp.where((lens > 0)[None], x, jnp.uint32(0))
         else:
-            lens = l_ref[:]                          # (GB, N/128, 128)
+            lens = l_ref[:]                          # (gb, N/128, 128)
         P, cap = N, 1
-        ov = jnp.zeros((GB, 1, 128), jnp.int32)
+        ov = jnp.zeros((gb, 1, 128), jnp.int32)
 
         # Plane-major levels: strings split across row halves.
         while P >= 256:
-            cap2 = _cap_limit(P // 2, N, capw)
-            xv = x.reshape(cap, GB, 2, P // 256, 128)
+            cap2 = _cap_limit(P // 2, N, capw, eguard)
+            xv = x.reshape(cap, gb, 2, P // 256, 128)
             a = xv[:, :, 0]
-            b = xv[:, :, 1]                          # (cap, GB, P/256, 128)
-            lv = lens.reshape(GB, 2, P // 256, 128)
+            b = xv[:, :, 1]                          # (cap, gb, P/256, 128)
+            lv = lens.reshape(gb, 2, P // 256, 128)
             la = lv[:, 0]
-            lb = lv[:, 1]                            # (GB, P/256, 128)
+            lb = lv[:, 1]                            # (gb, P/256, 128)
             if cap2 > cap:
                 z = jnp.zeros((cap2 - cap,) + b.shape[1:], jnp.uint32)
                 b2 = jnp.concatenate([b, z], axis=0)
@@ -178,19 +193,19 @@ def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
             cap = cap2
 
         # P == 128: switch to string-major, strings on the middle axis.
-        x = jnp.transpose(x.reshape(cap, GB, 128), (1, 2, 0))  # (GB,128,cap)
-        lens = jnp.transpose(lens, (0, 2, 1))                  # (GB,128,1)
+        x = jnp.transpose(x.reshape(cap, gb, 128), (1, 2, 0))  # (gb,128,cap)
+        lens = jnp.transpose(lens, (0, 2, 1))                  # (gb,128,1)
 
         # Halving levels while the middle-axis slice offsets stay
         # sublane-tile aligned (P//2 a multiple of 8).
         while P >= 16:
-            cap2 = _cap_limit(P // 2, N, capw)
+            cap2 = _cap_limit(P // 2, N, capw, eguard)
             a = x[:, : P // 2]
             b = x[:, P // 2 : P]
             la = lens[:, : P // 2]
             lb = lens[:, P // 2 : P]
             if cap2 > cap:
-                z = jnp.zeros((GB, P // 2, cap2 - cap), jnp.uint32)
+                z = jnp.zeros((gb, P // 2, cap2 - cap), jnp.uint32)
                 b2 = jnp.concatenate([b, z], axis=2)
                 a2 = jnp.concatenate([a, z], axis=2)
             else:
@@ -206,27 +221,27 @@ def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
             P //= 2
             cap = cap2
 
-        # Last three levels (8 strings x GB blocks) on a fixed-width
+        # Last three levels (8 strings x gb blocks) on a fixed-width
         # canvas, rows ordered [string, block]: every pair slice is a
-        # contiguous GB-row (= 8-row, tile-aligned) band, so all levels
+        # contiguous gb-row (= 8-row, tile-aligned) band, so all levels
         # stay row-parallel with per-block vector shifts — no broadcast
         # tricks, no per-pair scalar extraction.
         FIN = min(N, max(OUTW, cap))
         if FIN > cap:
             x = jnp.concatenate(
-                [x, jnp.zeros((GB, 8, FIN - cap), jnp.uint32)], axis=2)
+                [x, jnp.zeros((gb, 8, FIN - cap), jnp.uint32)], axis=2)
         else:
             x = x[:, :, :FIN]
-        x = jnp.transpose(x, (1, 0, 2)).reshape(8 * GB, FIN)
-        lens2 = jnp.transpose(lens, (1, 0, 2)).reshape(8 * GB, 1)
-        lvals = [lens2[k * GB : (k + 1) * GB] for k in range(8)]
+        x = jnp.transpose(x, (1, 0, 2)).reshape(8 * gb, FIN)
+        lens2 = jnp.transpose(lens, (1, 0, 2)).reshape(8 * gb, 1)
+        lvals = [lens2[k * gb : (k + 1) * gb] for k in range(8)]
         while P >= 2:
             parts = []
             lnew = []
             for k in range(P // 2):
-                a = x[k * GB : (k + 1) * GB]
-                b = x[(k + P // 2) * GB : (k + P // 2 + 1) * GB]
-                la = lvals[k]                        # (GB, 1)
+                a = x[k * gb : (k + 1) * gb]
+                b = x[(k + P // 2) * gb : (k + P // 2 + 1) * gb]
+                la = lvals[k]                        # (gb, 1)
                 sw = la >> 5
                 b2 = _word_barrel(b, sw, 1, FIN)
                 # Content shifted past the output budget truncates (sound:
@@ -245,19 +260,19 @@ def _concat_kernel_body(N: int, OUTW: int, capw: int | None = None,
             # decode plan whose payload cap is far below its n_sym budget):
             # the concatenation can never fill the budget; zero-pad.
             xout = jnp.concatenate(
-                [x[:GB, :FIN],
-                 jnp.zeros((GB, OUTW - FIN), jnp.uint32)], axis=1)
+                [x[:gb, :FIN],
+                 jnp.zeros((gb, OUTW - FIN), jnp.uint32)], axis=1)
         else:
-            xout = x[:GB, :OUTW]
-        out_ref[:] = xout.reshape(GB, OUTW // 128, 128)
-        ovf_ref[:] = jnp.broadcast_to(ov, (GB, 8, 128))
+            xout = x[:gb, :OUTW]
+        out_ref[:] = xout.reshape(gb, OUTW // 128, 128)
+        ovf_ref[:] = jnp.broadcast_to(ov, (gb, 8, 128))
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def concat_words_ovf(level0: jax.Array, lens: jax.Array, OUTW: int,
-                     capw: int | None = None):
+                     capw: int | None = None, eguard: int = 64):
     """Concatenate N variable-length bitstrings per block.
 
     level0: (B, N) u32 — string p left-aligned (MSB-first), bits past its
@@ -271,29 +286,33 @@ def concat_words_ovf(level0: jax.Array, lens: jax.Array, OUTW: int,
     lengths (it was the encode packer's dominant cost), and a block whose
     content exceeds a clamp is flagged — the driver re-encodes flagged
     blocks exactly on the host (same contract as pack_words_chunked).
+    ``eguard`` lowers the exact-level guard (see ``_cap_limit``): levels
+    aggregating [eguard, 64) base strings clamp to the mean-based cap with
+    a half-capacity variance floor instead of staying exact.
     """
     B, N = level0.shape
     assert N >= 256 and N & (N - 1) == 0, N
     assert OUTW % 128 == 0, OUTW
-    Bp = -(-B // GB) * GB  # pad to a whole grid step (zero strings)
+    gb = _gb_for(B)
+    Bp = -(-B // gb) * gb  # pad to a whole grid step (zero strings)
     if Bp != B:
         level0 = jnp.pad(level0, ((0, Bp - B), (0, 0)))
         lens = jnp.pad(lens, ((0, Bp - B), (0, 0)))
     w = bitrev_permute(level0)
     l = bitrev_permute(lens.astype(jnp.int32))
     words, ovf = pl.pallas_call(
-        _concat_kernel_body(N, OUTW, capw),
-        grid=(Bp // GB,),
+        _concat_kernel_body(N, OUTW, capw, eguard=eguard, gb=gb),
+        grid=(Bp // gb,),
         in_specs=[
-            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, N // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, N // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GB, OUTW // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, OUTW // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, 8, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -335,23 +354,25 @@ def concat_groups_ovf(level0: jax.Array, gcpacked: jax.Array, OUTW: int,
     B, N = level0.shape
     assert N >= 512 and N & (N - 1) == 0, N
     assert OUTW % 128 == 0, OUTW
-    Bp = -(-B // GB) * GB
+    gb = _gb_for(B)
+    Bp = -(-B // gb) * gb
     if Bp != B:
         level0 = jnp.pad(level0, ((0, Bp - B), (0, 0)))
         gcpacked = jnp.pad(gcpacked, ((0, Bp - B), (0, 0)))
     words, ovf = pl.pallas_call(
-        _concat_kernel_body(N, OUTW, capw, lens_packed=True, lscale=lscale),
-        grid=(Bp // GB,),
+        _concat_kernel_body(N, OUTW, capw, lens_packed=True, lscale=lscale,
+                            gb=gb),
+        grid=(Bp // gb,),
         in_specs=[
-            pl.BlockSpec((GB, N // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, N // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, N // 512, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, N // 512, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GB, OUTW // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, OUTW // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, 8, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((gb, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
